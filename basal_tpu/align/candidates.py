@@ -1,0 +1,216 @@
+"""Seed scheduling + candidate-table construction (host side).
+
+Reproduces the reference's frequency-aware seed placement exactly:
+  ReorderSeed          (align.cpp:468-498)
+  AdjustSeedStartArray (align.cpp:500-524)
+  CountSeeds           (align.cpp:526-540)  — incl. the sticky <<12 N-weight
+  GetTotalSeedLoc      (align.cpp:542-546)
+then expands every (read, chain, segment, probe) seed into a flat candidate
+table through the CSR index.  Candidate order inside a group is CSR order;
+the random-start circular visit order (SnpAlign, align.cpp:290-294) is
+applied later by the replay using ``jj0``.
+
+All integer arithmetic replicates the reference's u32 wraparound: CountSeeds
+accumulates into a bit32_t (align.cpp:527) but is *returned as int* and the
+(count, segid) pairs are sorted with signed comparison (align.cpp:492-495),
+while GetTotalSeedLoc/Adjust comparisons are unsigned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import AlignParams, MAXSNPS
+from ..index.seedindex import SeedIndex
+from ..reads.encode import EncodedBatch
+from .rng import MyRand
+
+
+@dataclasses.dataclass
+class CandGroup:
+    """One (read, chain, mode-rank, probe) seed probe's candidate slice."""
+    read: int
+    chain: int
+    mode: int        # stratum rank (sorted position)
+    seg: int         # original segment id (xseedindex .second)
+    h: int           # alignment-start offset: profile + seg_start - i
+    start: int       # offset into the flat candidate arrays
+    m: int           # number of candidates
+    mc: int          # chain-0 count - 1 (plane boundary; align.cpp:286)
+    jj0: int         # random scan start (align.cpp:290)
+
+
+@dataclasses.dataclass
+class CandidateTable:
+    loc: np.ndarray          # int32 [C] concatenated alignment-start coords
+    plane: np.ndarray        # int32 [C] ref strand plane
+    row: np.ndarray          # int32 [C] read-plane row (2*read + chain)
+    groups: List[List[CandGroup]]   # per read, in replay order
+    # per-read scheduling results (needed by replay for h of gapped hits)
+    n_groups: int
+
+
+class SeedScheduler:
+    """Per-aligner-instance stateful scheduler.
+
+    ``xseed_start_offset`` persists across reads like the reference member
+    (align.h:73) — it is only rewritten when (L-I+1)%s > 0, else the previous
+    read's value leaks into AdjustSeedStartArray's search bounds.
+    """
+
+    def __init__(self, params: AlignParams, index: SeedIndex, rng: MyRand):
+        self.p = params
+        self.index = index
+        self.rng = rng
+        self.profile = params.profile()        # [MAXSNPS+1, I]
+        self.start_offset_state = [0, 0]       # per chain
+
+    def count_seeds(self, seedval: np.ndarray, has_n: np.ndarray,
+                    n_off: int, seg: int, start: int) -> int:
+        """CountSeeds (align.cpp:526-540): u32-wrapping sum with sticky <<12
+        N-weight.  Returns the raw u32 total (callers reinterpret)."""
+        I = self.p.index_interval
+        total = np.uint32(0)
+        k = 0
+        counts = self.index.counts
+        with np.errstate(over="ignore"):
+            for i in range(I):
+                off = int(self.profile[seg][i]) + start - i
+                # offsets are always < n_off for valid schedules (offset +
+                # seed_size <= L by construction); out-of-range can only occur
+                # through the stale-state path when (L-I+1)%s == 0 — the
+                # reference reads stale array entries there; we count 0.
+                if not (0 <= off < n_off):
+                    continue
+                if has_n[off]:
+                    k = 12
+                c = np.uint32(counts[int(seedval[off])])
+                total = np.uint32(total + np.uint32(c << np.uint32(k)))
+        if total == 0:
+            total = np.uint32(9999999)
+        return int(total)
+
+    def schedule_read(self, enc: EncodedBatch, r: int):
+        """Returns per-chain (start_array[segnum], order[segnum]) or None for
+        disabled chains."""
+        p = self.p
+        L = int(enc.map_len[r])
+        segnum = int(enc.seedseg_num[r])
+        I = p.index_interval
+        s = p.seed_size
+        out = []
+        for chain in range(2):
+            if not enc.xflag_chain[r, chain]:
+                out.append(None)
+                continue
+            seedval = enc.seedval[r, chain]
+            has_n = enc.seed_has_n[r, chain]
+            n_off = int(enc.n_offsets[r])
+            max_offset = (L - I + 1) % s
+
+            # ReorderSeed: pick global start minimizing total (align.cpp:475-480)
+            if max_offset > 0:
+                best = 0xFFFFFFFF
+                for i in range(max_offset):
+                    tt = np.uint32(0)
+                    with np.errstate(over="ignore"):
+                        for seg in range(segnum):
+                            tt = np.uint32(tt + np.uint32(
+                                self.count_seeds(seedval, has_n, n_off, seg, i)))
+                    if int(tt) < best:
+                        best = int(tt)
+                        self.start_offset_state[chain] = i
+            start_arr = [self.start_offset_state[chain]] * segnum
+
+            # AdjustSeedStartArray (align.cpp:500-524): outside-in relaxation
+            for i in range(segnum):
+                ptr = i // 2 if i % 2 == 0 else segnum - 1 - i // 2
+                lo = 0 if ptr == 0 else start_arr[ptr - 1]
+                hi = max_offset if ptr == segnum - 1 else start_arr[ptr + 1]
+                total = 0xFFFFFFFF
+                start_arr[ptr] = lo
+                for ii in range(lo, hi + 1):
+                    tt = self.count_seeds(seedval, has_n, n_off, ptr, ii)
+                    if np.uint32(tt) < np.uint32(total):
+                        total = tt
+                        start_arr[ptr] = ii
+            # segment order: sort (count-as-int, segid) pairs (align.cpp:492-495)
+            keys = []
+            for seg in range(segnum):
+                c = self.count_seeds(seedval, has_n, n_off, seg, start_arr[seg])
+                keys.append((np.int32(np.uint32(c)), seg))
+            keys.sort(key=lambda t: (int(t[0]), t[1]))
+            order = [seg for _, seg in keys]
+            out.append((start_arr, order))
+        return out
+
+
+def build_candidates(params: AlignParams, index: SeedIndex,
+                     enc: EncodedBatch, sched: SeedScheduler,
+                     schedules: Optional[list] = None) -> CandidateTable:
+    """Expand all probes of all reads into one flat candidate table."""
+    p = params
+    I = p.index_interval
+    starts = index.starts
+    n1 = index.n1
+    counts = index.counts
+    mkn = index.max_kmer_num
+    profile = sched.profile
+
+    loc_parts: List[np.ndarray] = []
+    groups: List[List[CandGroup]] = []
+    flat = 0
+    B = len(enc.reads)
+    if schedules is None:
+        schedules = [None] * B
+
+    plane_parts: List[np.ndarray] = []
+    row_parts: List[np.ndarray] = []
+    for r in range(B):
+        glist: List[CandGroup] = []
+        groups.append(glist)
+        if enc.filtered[r] or enc.seedseg_num[r] <= 0:
+            continue
+        if schedules[r] is None:
+            schedules[r] = sched.schedule_read(enc, r)
+        per_chain = schedules[r]
+        rv = sched.rng(enc.reads[r].index)
+        for chain in range(2):
+            if per_chain[chain] is None:
+                continue
+            start_arr, order = per_chain[chain]
+            seedval = enc.seedval[r, chain]
+            for mode, seg in enumerate(order):
+                for i in range(I):
+                    off = int(profile[seg][i]) + start_arr[seg] - i
+                    s = int(seedval[off])
+                    m = int(counts[s])
+                    if m == 0 or m > mkn:
+                        continue
+                    h = int(profile[seg][i]) + start_arr[seg] - i
+                    lo = int(starts[s])
+                    locs = index.locs[lo:lo + m].astype(np.int64)
+                    cand_loc = (locs - h).astype(np.int32)
+                    pl = (np.arange(m) >= n1[s]).astype(np.int32)
+                    jj0 = (rv if p.randseed != 0
+                           else sched.rng(enc.reads[r].index)) % m
+                    glist.append(CandGroup(
+                        read=r, chain=chain, mode=mode, seg=seg, h=h,
+                        start=flat, m=m, mc=int(n1[s]) - 1, jj0=int(jj0)))
+                    loc_parts.append(cand_loc)
+                    plane_parts.append(pl)
+                    row_parts.append(np.full(m, 2 * r + chain, dtype=np.int32))
+                    flat += m
+    if flat == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return CandidateTable(loc=z, plane=z.copy(), row=z.copy(),
+                              groups=groups, n_groups=0)
+    return CandidateTable(
+        loc=np.concatenate(loc_parts),
+        plane=np.concatenate(plane_parts),
+        row=np.concatenate(row_parts),
+        groups=groups, n_groups=sum(len(g) for g in groups),
+    )

@@ -1,0 +1,140 @@
+"""Single-end alignment pipeline: orchestrates host IO/encode, the device
+extension kernel, the exact scan replay, and SAM emission.
+
+Equivalent of the reference driver loop (t_SingleAlign/Do_Batch,
+main.cpp:60-92, align.cpp:565-580), restructured for a TPU:
+
+  host:   batch read -> filter/trim -> encode planes -> seed schedule ->
+          candidate table                      (numpy, overlappable)
+  device: extend_kernel over all candidates    (jit / Pallas)
+  host:   scan replay -> SAM text
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlignParams
+from ..index.reference import PackedReference, load_reference
+from ..index.seedindex import SeedIndex, build_index
+from ..reads.encode import EncodedBatch, encode_batch
+from ..reads.io import open_reads
+from .candidates import SeedScheduler, build_candidates
+from .replay import Replayer
+from .rng import MyRand
+from .sam import SamEmitter, sam_header
+
+
+def _mode_name(params: AlignParams) -> str:
+    if params.nt3:
+        return "nt3"
+    return "oneway" if params.rule.one_way else "multiway"
+
+
+class DeviceContext:
+    """Holds the packed reference on device and invokes the extend kernel."""
+
+    def __init__(self, ref: PackedReference, params: AlignParams):
+        self.params = params
+        self.nw = ref.ref32.shape[1]
+        self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))
+        self.mode = _mode_name(params)
+
+    def extend(self, enc: EncodedBatch, loc, plane, row):
+        from ..ops.extend import extend_kernel
+        p = self.params
+        C = loc.shape[0]
+        cpad = max(256, 1 << (C - 1).bit_length())  # pad to pow2 for jit reuse
+        pad = cpad - C
+
+        def padc(a, fill=0):
+            return np.pad(a, (0, pad), constant_values=fill)
+
+        args = dict(
+            ref32=self.ref32_dev,
+            loc=jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
+            plane=jnp.asarray(padc(plane), dtype=jnp.int32),
+            row=jnp.asarray(padc(row), dtype=jnp.int32),
+            base=jnp.asarray(enc.base), valid=jnp.asarray(enc.valid),
+            mread=jnp.asarray(enc.mread), lenmask=jnp.asarray(enc.lenmask),
+            ncnt=jnp.asarray(np.repeat(enc.n_count, 2), dtype=jnp.int32),
+            readlen=jnp.asarray(np.repeat(enc.map_len, 2), dtype=jnp.int32),
+        )
+        res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
+                            nw=self.nw)
+        if p.gap > 0:
+            counts, pos0, pos1 = res
+            return (np.asarray(counts)[:C], np.asarray(pos0)[:C],
+                    np.asarray(pos1)[:C])
+        return np.asarray(res)[:C], None, None
+
+
+class SingleEndAligner:
+    def __init__(self, params: AlignParams, ref: PackedReference,
+                 index: SeedIndex):
+        self.p = params
+        self.ref = ref
+        self.index = index
+        self.rng = MyRand(params.randseed)
+        self.sched = SeedScheduler(params, index, self.rng)
+        self.dev = DeviceContext(ref, params)
+        self.replayer = Replayer(params, ref, self.rng)
+        self.emitter = SamEmitter(params, ref, self.rng)
+        self.total_reads = 0
+        self.total_candidates = 0
+
+    def align_batch(self, reads) -> str:
+        enc = encode_batch(self.p, reads)
+        table = build_candidates(self.p, self.index, enc, self.sched)
+        self.total_reads += len(reads)
+        self.total_candidates += table.loc.size
+        if table.loc.size:
+            counts, pos0, pos1 = self.dev.extend(
+                enc, table.loc, table.plane, table.row)
+        else:
+            counts = np.zeros(0, dtype=np.int32)
+            pos0 = pos1 = None
+        results = self.replayer.replay_batch(enc, table, counts, pos0, pos1)
+        out: List[str] = []
+        for read, res, L in zip(enc.reads, results, enc.map_len):
+            self.emitter.emit_read(read, res, int(L), out)
+        return "".join(out)
+
+
+def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
+                   out_fh=None, command_line: str = "basal_tpu",
+                   log=lambda *a: None):
+    t0 = time.time()
+    ref = load_reference(ref_path, params)
+    log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp. "
+        f"{time.time()-t0:.0f} secs passed")
+    index = build_index(ref, params)
+    log(f"create seed table. {time.time()-t0:.0f} secs passed")
+
+    aligner = SingleEndAligner(params, ref, index)
+    out_fh = out_fh or sys.stdout
+    if params.sam_header:
+        out_fh.write(sam_header(ref, params, command_line))
+    reader = open_reads(reads_path, params, readset=0)
+    while True:
+        reads = reader.next_batch()
+        if not reads:
+            break
+        out_fh.write(aligner.align_batch(reads))
+        log(f"{reader.index - params.read_start + 1} reads finished. "
+            f"{time.time()-t0:.0f} secs passed")
+    reader.close()
+    e = aligner.emitter
+    n_total = max(reader.index - params.read_start + 1, 1)
+    log(f"total reads: {reader.index - params.read_start + 1} \t"
+        f"total time: {time.time()-t0:.0f} secs")
+    log(f"aligned reads: {e.n_aligned} ({100.0*e.n_aligned/n_total:.1f}%), "
+        f"unique reads: {e.n_unique} ({100.0*e.n_unique/n_total:.1f}%), "
+        f"non-unique reads: {e.n_multiple} ({100.0*e.n_multiple/n_total:.1f}%)")
+    return aligner

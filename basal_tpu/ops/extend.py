@@ -1,0 +1,130 @@
+"""Batched candidate-extension kernels (the hot loop, on device).
+
+This replaces the reference's per-candidate scalar scan
+(``SingleAlign::SnpAlign`` + ``CountMismatch[_new]`` + ``MismatchPattern*``,
+align.cpp:228-317, align.h:118-327) with one fixed-shape tensor program:
+every candidate of a read batch is evaluated in parallel on the TPU VPU.
+
+Per candidate (ref-plane p, concatenated base loc, read-chain row r):
+  1. gather the reference window words from HBM,
+  2. funnel-shift them onto the read word grid (the reference shifts the read
+     onto the ref grid instead — same comparisons, align.h:126-128),
+  3. apply the conversion-mask algebra and popcount 2-bit mismatch lanes.
+
+In gapped mode it additionally extracts the first K=MAXSNPS-1 mismatch
+positions left-to-right (MismatchPattern0, align.h:133-168) and, for each of
+the 2*gap shifted windows, right-to-left as distance-from-read-end
+(MismatchPattern1, align.h:170-196).  The sequential accept/dedup/cap logic
+consumes these on the host (see basal_tpu.align.replay).
+
+There is no early exit: full counts are computed for all candidates.  Counts
+beyond the reference's running ``snp_thres`` are simply ignored downstream,
+which reproduces its output exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .bitops import (lane_flags, mismatch_words_multiway, mismatch_words_nt3,
+                     mismatch_words_oneway, xm32)
+
+K_POS = 14  # MAXSNPS - 1: max mismatch positions any GapAlign path can read
+
+
+def _align_words(R: jax.Array, off: jax.Array, sh2: jax.Array, W: int) -> jax.Array:
+    """Funnel-shift gathered ref words onto the read word grid.
+
+    R: [C, Wg] gathered words; off: [C] first-word offset into R;
+    sh2: [C] bit shift (2 * base offset).  Returns [C, W].
+    A[w] = (R[off+w] << sh2) | ((R[off+w+1] >> (31-sh2)) >> 1)
+    (cf. the (s[i]<<offset)|((s[i+1]>>(63-offset))>>1) composition,
+    align.h:141).
+    """
+    idx = off[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    r = jnp.take_along_axis(R, idx, axis=1)
+    sh = sh2[:, None].astype(jnp.uint32)
+    return (r[:, :W] << sh) | ((r[:, 1:] >> (jnp.uint32(31) - sh)) >> 1)
+
+
+def _rule_flags(mode: str, base, refw, mread):
+    if mode == "oneway":
+        return mismatch_words_oneway(base, refw)
+    if mode == "multiway":
+        return mismatch_words_multiway(base, refw, mread)
+    if mode == "nt3":
+        return mismatch_words_nt3(base, refw)
+    raise ValueError(mode)
+
+
+def _first_positions(flagw: jax.Array, fill: jax.Array, W: int,
+                     reverse: bool) -> jax.Array:
+    """First K_POS mismatch lane positions of [C, W] flag words, ascending
+    read position (reverse=False) or ascending distance-from-end
+    (reverse=True, position reported as L-1-p per MismatchPattern1's
+    j accounting, align.h:179-193).  ``fill`` [C] is map_readlen."""
+    bits = lane_flags(flagw)  # one bit per lane at the lane's low position
+    shifts = jnp.arange(30, -2, -2, dtype=jnp.uint32)  # lane 0 (first base) first
+    lane_bits = (bits[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    lane_bits = lane_bits.reshape(bits.shape[0], W * 16)
+    lane_idx = jnp.arange(W * 16, dtype=jnp.int32)[None, :]
+    pos = jnp.where(reverse, fill[:, None] - 1 - lane_idx, lane_idx)
+    score = jnp.where(lane_bits != 0, pos, fill[:, None]).astype(jnp.int32)
+    return jnp.sort(score, axis=1)[:, :K_POS]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw"))
+def extend_kernel(ref32, loc, plane, row, base, valid, mread, lenmask,
+                  ncnt, readlen, *, mode: str, gap: int, W: int, nw: int):
+    """Evaluate C candidates against the packed reference.
+
+    ref32: u32 [2*nw] (fwd plane then RC plane, each nw words)
+    loc:   i32 [C] concatenated base coords (alignment start)
+    plane: i32 [C] ref strand plane (0 fwd / 1 RC)
+    row:   i32 [C] read-plane row = encoded (read, chain)
+    base/valid/mread/lenmask: u32 [R, W] read planes
+    ncnt:  i32 [R] N-count additive term (-N flag; align.h:120)
+    readlen: i32 [R] mapped read length
+
+    Returns counts i32[C] and, when gap>0, (pos0 i32[C, K],
+    pos1 i32[C, 2*gap, K]).
+    """
+    C = loc.shape[0]
+    wg = (W + 3) if gap > 0 else (W + 1)
+    k0 = (loc >> 4) - (1 if gap > 0 else 0)
+    sh2 = ((loc & 15) << 1).astype(jnp.int32)
+    gidx = plane * jnp.int32(nw) + k0
+    idx = gidx[:, None] + jnp.arange(wg, dtype=jnp.int32)[None, :]
+    R = jnp.take(ref32, idx)  # [C, wg]
+
+    off0 = jnp.full((C,), 1 if gap > 0 else 0, dtype=jnp.int32)
+    A = _align_words(R, off0, sh2, W)
+
+    b = jnp.take(base, row, axis=0)
+    v = jnp.take(valid, row, axis=0)
+    mr = jnp.take(mread, row, axis=0) if mode == "multiway" else None
+    flags = _rule_flags(mode, b, A, mr)
+    counts = jnp.take(ncnt, row) + jnp.sum(xm32(flags & v), axis=1)
+
+    if gap == 0:
+        return counts
+
+    lm = jnp.take(lenmask, row, axis=0)
+    L = jnp.take(readlen, row)
+    pos0 = _first_positions(flags & lm, L, W, reverse=False)
+
+    pos1 = []
+    for tt in range(1, 2 * gap + 1):
+        t = (tt + 1) // 2
+        shift = (1 - (tt % 2) * 2) * t  # tt odd -> -t, even -> +t (align.cpp:373)
+        loc_s = loc + shift
+        k0_s = loc_s >> 4
+        off_s = k0_s - k0
+        sh2_s = ((loc_s & 15) << 1).astype(jnp.int32)
+        A_s = _align_words(R, off_s, sh2_s, W)
+        flags_s = _rule_flags(mode, b, A_s, mr)
+        pos1.append(_first_positions(flags_s & lm, L, W, reverse=True))
+    return counts, pos0, jnp.stack(pos1, axis=1)

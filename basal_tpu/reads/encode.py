@@ -1,0 +1,187 @@
+"""Batch read filtering + encoding into device planes and seed arrays.
+
+Replaces the reference's per-read scalar pipeline:
+  FilterReads        (align.cpp:548-563) -> mismatch budget, trims, N filter
+  TrimAdapter        (align.cpp:418-435)
+  TrimLowQual        (align.cpp:51-76)
+  ConvertBina[r]ySeq (align.cpp:79-226)  -> 2/3-plane packing + seed arrays
+
+Encoding is vectorized numpy over the whole batch; planes are u32 words of
+16 bases (first base in the MSBs), one row per (read, chain):
+  row = 2*read + chain, chain 0 = read as-is, chain 1 = reverse complement
+  (via rev_alphabet over the reversed read, align.cpp:193-199).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import numpy as np
+
+from ..bits import pack_planes_u32, seeds_from_codes, xt_collapse32
+from ..config import MAXSNPS, AlignParams, REG_ALPHABET
+from .io import ReadRec
+
+
+@dataclasses.dataclass
+class EncodedBatch:
+    reads: List[ReadRec]              # post-trim reads (seq/qual mutated)
+    filtered: np.ndarray              # bool [B]: QC-failed (reported 0x204)
+    map_len: np.ndarray               # int32 [B]
+    raw_len: np.ndarray               # int32 [B] pre-trim length
+    read_max_snp: np.ndarray          # int32 [B] per-read mismatch budget
+    xflag_chain: np.ndarray           # bool [B, 2] enabled read chains
+    n_count: np.ndarray               # int32 [B] (-N term; 0 otherwise)
+    seedseg_num: np.ndarray           # int32 [B]
+    # device planes, rows = 2*B (read-major, chain minor)
+    W: int
+    base: np.ndarray                  # u32 [2B, W]
+    valid: np.ndarray                 # u32 [2B, W]
+    mread: np.ndarray                 # u32 [2B, W]
+    lenmask: np.ndarray               # u32 [2B, W]
+    # host seed arrays
+    seedval: np.ndarray               # u32 [B, 2, L-s+1 max] (padded)
+    seed_has_n: np.ndarray            # bool same shape
+    n_offsets: np.ndarray             # int32 [B] valid offsets = L-s+1
+
+
+def _trim_adapter(p: AlignParams, seq: str, qual: str):
+    """TrimAdapter (align.cpp:418-435): >=4bp match, <=20% mismatches, <=4
+    absolute; first adapter hit wins."""
+    for ad in p.adapters:
+        lo = p.seed_size + p.index_interval - 1
+        for pos in range(lo, len(seq) - 4):
+            m0 = 0
+            k = 0
+            while k < len(ad) and k < 15 and pos + k < len(seq):
+                if ad[k] != seq[pos + k]:
+                    m0 += 1
+                    if m0 > 4:
+                        break
+                k += 1
+            if k >= m0 * 5 and k > 3:
+                return seq[:pos], qual[:pos] if len(qual) > pos else qual
+    return seq, qual
+
+
+def _trim_lowqual(p: AlignParams, seq: str, qual: str):
+    """TrimLowQual (align.cpp:51-76).  Returns (seq, qual, failed)."""
+    if len(seq) != len(qual):
+        qual = chr(p.zero_qual + p.default_qual) * len(seq)
+    qual_thres = p.zero_qual + p.qual_threshold
+    if p.zero_qual != ord("!"):
+        delta = p.zero_qual - ord("!")
+        qual = "".join(chr(ord(c) - delta) for c in qual)
+        qual_thres -= delta
+    if p.qual_threshold == 0:
+        return seq, qual, False
+    i = len(qual)
+    for c in reversed(qual):
+        if ord(c) > qual_thres:
+            break
+        i -= 1
+    if i < p.seed_size + p.index_interval - 1:
+        return seq, qual, True
+    return seq[:i], qual[:i], False
+
+
+def filter_and_trim(params: AlignParams, reads: List[ReadRec]):
+    """Run FilterReads semantics over a batch; mutates seq/qual in place.
+    Returns (filtered bool[B], raw_len, read_max_snp, n_count)."""
+    p = params
+    B = len(reads)
+    filtered = np.zeros(B, dtype=bool)
+    raw_len = np.zeros(B, dtype=np.int32)
+    budget = np.zeros(B, dtype=np.int32)
+    n_count = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        if p.max_snp_num < 100:
+            rms = p.max_snp_num
+        else:
+            rms = int((p.max_snp_num - 100) / 100.0 * len(r.seq) + 0.5)
+        if p.gap > 0:
+            rms = rms + 1 + p.gap  # align.cpp:554
+        rms = min(rms, MAXSNPS)
+        raw_len[i] = len(r.seq)   # TrimAdapter sets raw_readlen first (align.cpp:420)
+        if p.adapters:
+            r.seq, r.qual = _trim_adapter(p, r.seq, r.qual)
+        r.seq, r.qual, fail = _trim_lowqual(p, r.seq, r.qual)
+        if fail or len(r.seq) < p.min_read_size:
+            filtered[i] = True
+            continue
+        ncnt = sum(1 for c in r.seq if REG_ALPHABET[ord(c)] == 0)
+        if ncnt > p.max_ns:
+            filtered[i] = True
+            continue
+        if p.n_mis:
+            n_count[i] = ncnt
+        budget[i] = (rms + 1) * (len(r.seq) - 1) // raw_len[i]  # align.cpp:561
+    return filtered, raw_len, budget, n_count
+
+
+def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
+    p = params
+    rule = p.rule
+    filtered, raw_len, budget, n_count = filter_and_trim(p, reads)
+    B = len(reads)
+    map_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
+    lmax = max(int(map_len.max(initial=1)), p.seed_size)
+    W = max(4, -(-(lmax) // 16) + 0)  # words covering lmax
+
+    # char matrix [B, lmax], 'N'-padded so LUTs yield code 0 / invalid
+    chars = np.full((B, lmax), ord("N"), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        b = np.frombuffer(r.seq.encode("latin1"), dtype=np.uint8)
+        chars[i, :len(b)] = b
+
+    # chain 0: as-is; chain 1: reversed chars through rev_* LUTs.  The
+    # reference right-aligns nothing — the reversed read also starts at
+    # position 0 (align.cpp:193-199): reverse each row by its own length.
+    rev = np.full_like(chars, ord("N"))
+    for i in range(B):
+        L = map_len[i]
+        rev[i, :L] = chars[i, :L][::-1]
+
+    codes = np.empty((B, 2, lmax), dtype=np.uint8)
+    mreadc = np.empty((B, 2, lmax), dtype=np.uint8)
+    validc = np.empty((B, 2, lmax), dtype=np.uint8)
+    codes[:, 0] = rule.alphabet[chars]
+    codes[:, 1] = rule.rev_alphabet[rev]
+    mreadc[:, 0] = rule.alphabet_mread[chars]
+    mreadc[:, 1] = rule.rev_alphabet_mread[rev]
+    validc[:, 0] = REG_ALPHABET[chars]
+    validc[:, 1] = REG_ALPHABET[rev]
+    # beyond-read positions already map to 0 via 'N'
+
+    base = pack_planes_u32(codes.reshape(2 * B, lmax), W)
+    if p.nt3:
+        base = xt_collapse32(base)
+    valid = pack_planes_u32(validc.reshape(2 * B, lmax), W)
+    mread = pack_planes_u32(mreadc.reshape(2 * B, lmax), W)
+    lenc = np.zeros((B, lmax), dtype=np.uint8)
+    for i in range(B):
+        lenc[i, :map_len[i]] = 3
+    lenmask = pack_planes_u32(np.repeat(lenc, 2, axis=0), W)
+
+    seedval, has_n = seeds_from_codes(
+        codes, validc != 0, p.seed_size)
+    n_off = np.maximum(map_len - p.seed_size + 1, 0).astype(np.int32)
+
+    # enabled chains (PBAT support, align.cpp:156-158)
+    readset = np.array([r.readset for r in reads], dtype=np.int32)
+    xf = np.zeros((B, 2), dtype=bool)
+    xf[:, 0] = (p.chains == 1) | ((p.chains <= 1) == (readset < 2))
+    xf[:, 1] = (p.chains == 1) | ((p.chains <= 1) == (readset == 2))
+
+    seedseg = np.minimum(
+        (map_len - p.index_interval + 1) // p.seed_size,
+        budget + 1).astype(np.int32)  # align.cpp:450
+
+    return EncodedBatch(
+        reads=reads, filtered=filtered, map_len=map_len, raw_len=raw_len,
+        read_max_snp=budget, xflag_chain=xf, n_count=n_count,
+        seedseg_num=seedseg, W=W,
+        base=base, valid=valid, mread=mread, lenmask=lenmask,
+        seedval=seedval, seed_has_n=has_n, n_offsets=n_off,
+    )

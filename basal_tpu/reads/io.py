@@ -1,0 +1,208 @@
+"""Read input: FASTA / FASTQ (plain or gzip) and SAM/BAM batch readers.
+
+Equivalent of ``ReadClass`` (reads.{h,cpp}): batches of up to 50,000 reads,
+-B/-E read-range windowing (reads.cpp:19-39), hard clip to -L
+(reads.cpp:63-65), FASTA reads get constant quality
+``chr(zero_qual + default_qual)`` (reads.cpp:62).
+
+Like the reference's ``fin>>p->seq`` token reads, sequence and quality are
+single whitespace-delimited tokens (multi-line FASTQ records are not a thing
+in practice; the reference would mis-parse them identically).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import struct
+from typing import Iterator, List, Optional
+
+from ..config import AlignParams
+
+
+@dataclasses.dataclass
+class ReadRec:
+    index: int          # global 0-based read index (myrand input; reads.cpp:56)
+    readset: int        # 0 SE, 1/2 PE mate (align.cpp:83-84)
+    name: str
+    seq: str
+    qual: str
+
+
+def _open(path: str):
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.open(path, "rb"))
+    return open(path, "rb")
+
+
+def sniff_format(path: str) -> str:
+    """Input format sniffing (check_ifile_format, main.cpp:386-407)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    gz = magic[:2] == b"\x1f\x8b"
+    if gz:
+        with gzip.open(path, "rb") as g:
+            head = g.read(4)
+        if head[:1] == b">":
+            return "fasta"
+        if head[:1] == b"@":
+            return "fastq"
+        if head == b"BAM\x01":
+            return "bam"
+        return "sam"
+    if magic[:1] == b">":
+        return "fasta"
+    if magic[:1] == b"@":
+        return "fastq"
+    return "sam"
+
+
+class FastxReader:
+    """FASTA/FASTQ batch reader with -B/-E windowing."""
+
+    def __init__(self, path: str, params: AlignParams, readset: int = 0,
+                 fmt: Optional[str] = None):
+        self.params = params
+        self.readset = readset
+        self.fmt = fmt or sniff_format(path)
+        self.fh = _open(path)
+        self.index = params.read_start - 1
+        self._skip_to_start()
+
+    def _skip_to_start(self):
+        lines_per = 2 if self.fmt == "fasta" else 4
+        skip = (self.params.read_start - 1) * lines_per
+        for _ in range(skip):
+            if not self.fh.readline():
+                break
+
+    def next_batch(self, batch_size: Optional[int] = None) -> List[ReadRec]:
+        p = self.params
+        n = batch_size or p.batch_reads
+        out: List[ReadRec] = []
+        is_fq = self.fmt == "fastq"
+        while len(out) < n and self.index < p.read_end:
+            header = self.fh.readline()
+            if not header:
+                break
+            header = header.strip()
+            if not header:
+                continue
+            name = header[1:].split()[0].decode() if len(header) > 1 else ""
+            seq = self.fh.readline().split()
+            seq = seq[0].decode() if seq else ""
+            if is_fq:
+                self.fh.readline()  # '+'
+                qual = self.fh.readline().split()
+                qual = qual[0].decode() if qual else ""
+            else:
+                qual = chr(p.zero_qual + p.default_qual) * len(seq)
+            if len(seq) > p.max_readlen:
+                seq = seq[:p.max_readlen]
+                qual = qual[:p.max_readlen]
+            out.append(ReadRec(index=self.index, readset=self.readset,
+                               name=name, seq=seq, qual=qual))
+            self.index += 1
+        return out
+
+    def close(self):
+        self.fh.close()
+
+
+_NT16 = "=ACMGRSVTWYHKDBN"
+
+
+class BamReader:
+    """Minimal BAM batch reader (BGZF via gzip module; BAM record codec).
+
+    Replaces the vendored libbam input path (reads.cpp:84-108).  For paired
+    input, R1/R2 are de-interleaved by flag 0x40/0x80 like the reference
+    (reads.cpp:96-100).
+    """
+
+    def __init__(self, path: str, params: AlignParams, readset: int = 0):
+        self.params = params
+        self.readset = readset
+        self.fh = io.BufferedReader(gzip.open(path, "rb"))
+        magic = self.fh.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self.fh.read(4))[0]
+        self.header_text = self.fh.read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", self.fh.read(4))[0]
+        self.refs = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self.fh.read(4))[0]
+            name = self.fh.read(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", self.fh.read(4))[0]
+            self.refs.append((name, l_ref))
+        self.index = params.read_start - 1
+        skip = (params.read_start - 1) * (2 if params.pairend else 1)
+        for _ in range(skip):
+            if self._read_record() is None:
+                break
+
+    def _read_record(self):
+        hdr = self.fh.read(4)
+        if len(hdr) < 4:
+            return None
+        block_size = struct.unpack("<i", hdr)[0]
+        data = self.fh.read(block_size)
+        if len(data) < block_size:
+            return None
+        (_refid, _pos, l_rn, _mapq, _bin, n_cig, flag, l_seq, _nref, _npos,
+         _tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+        off = 32
+        name = data[off:off + l_rn - 1].decode()
+        off += l_rn + 4 * n_cig
+        seq_bytes = data[off:off + (l_seq + 1) // 2]
+        off += (l_seq + 1) // 2
+        qual_bytes = data[off:off + l_seq]
+        seq = "".join(
+            _NT16[(seq_bytes[i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+            for i in range(l_seq))
+        qual = "".join(chr(q + 33) for q in qual_bytes)
+        return flag, name, seq, qual
+
+    def next_batch(self, batch_size: Optional[int] = None) -> List[ReadRec]:
+        p = self.params
+        n = batch_size or p.batch_reads
+        out: List[ReadRec] = []
+        pe = self.readset != 0
+        while len(out) < n and self.index < p.read_end:
+            if self.readset == 2:
+                if self._read_record() is None:
+                    break
+            rec = self._read_record()
+            if rec is None:
+                break
+            flag, name, seq, qual = rec
+            if pe:
+                rs = 1 if (flag & 0x40) else (2 if (flag & 0x80) else self.readset)
+            else:
+                rs = 0
+            if len(seq) > p.max_readlen:
+                seq = seq[:p.max_readlen]
+                qual = qual[:p.max_readlen]
+            out.append(ReadRec(index=self.index, readset=rs,
+                               name=name, seq=seq, qual=qual))
+            self.index += 1
+            if self.readset == 1:
+                if self._read_record() is None:
+                    break
+        return out
+
+    def close(self):
+        self.fh.close()
+
+
+def open_reads(path: str, params: AlignParams, readset: int = 0):
+    fmt = sniff_format(path)
+    if fmt in ("fasta", "fastq"):
+        return FastxReader(path, params, readset, fmt)
+    if fmt == "bam":
+        return BamReader(path, params, readset)
+    raise NotImplementedError(f"SAM read input not yet supported: {path}")
