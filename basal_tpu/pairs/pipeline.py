@@ -1,0 +1,295 @@
+"""Paired-end alignment pipeline + PE SAM emission.
+
+Orchestrates two read streams in lockstep (t_PairAlign, main.cpp:95-122;
+PairAlign::Do_Batch, pairs.cpp:179-202); both ends' candidate tables are
+evaluated in a single device batch, then each pair replays through the
+lockstep stratum search (basal_tpu.pairs.pairing).
+
+SAM emission mirrors s_OutHitPair (pairs.cpp:307-416) and s_OutHitUnpair
+(pairs.cpp:418-485) byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..align.candidates import SeedScheduler, build_candidates
+from ..align.pipeline import DeviceContext
+from ..align.replay import Hit, ReadScan, Replayer
+from ..align.rng import MyRand
+from ..align.sam import CHAIN_FLAG, _cigar, _xr_context, revcomp, sam_header
+from ..config import MAXSNPS, AlignParams
+from ..index.reference import PackedReference, load_reference
+from ..index.seedindex import build_index
+from ..reads.encode import encode_batch
+from ..reads.io import open_reads
+from .pairing import PairHit, fix_pair_read_name, get_pairs, lockstep_align
+
+
+class PairEmitter:
+    def __init__(self, params: AlignParams, ref: PackedReference, rng: MyRand):
+        self.p = params
+        self.ref = ref
+        self.rng = rng
+        self.n_aligned_pairs = self.n_unique_pairs = self.n_multiple_pairs = 0
+        self.n_aligned_a = self.n_unique_a = self.n_multiple_a = 0
+        self.n_aligned_b = self.n_unique_b = self.n_multiple_b = 0
+
+    # -- proper pair record (s_OutHitPair, pairs.cpp:307-416) ------------
+    def out_hit_pair(self, reads, Ls, pp: PairHit, n: int, out: List[str]):
+        p = self.p
+        chain, na, nb, insert, ha, hb = pp
+        ends = ((reads[0], Ls[0], ha, hb, na, chain),
+                (reads[1], Ls[1], hb, ha, nb, 1 - chain))
+        for read, L, h, mate_h, nm, ch in ends:
+            rev = ch ^ (h[0] % 2)
+            flag = 0x3
+            if n > 1:
+                flag |= 0x100
+            if rev:
+                flag |= 0x10
+                pp_insert = -insert
+            else:
+                flag |= 0x20
+                pp_insert = insert
+            flag |= 0x40 * read.readset
+            cig = _cigar(L, h[2], h[3])
+            seq = revcomp(read.seq) if rev else read.seq
+            qual = read.qual[::-1] if rev else read.qual
+            name = self.ref.titles[h[0] >> 1].name
+            rec = (f"{read.name}\t{flag}\t{name}\t{h[1] + 1}\t255\t{cig}\t=\t"
+                   f"{mate_h[1] + 1}\t{pp_insert}\t{seq}\t{qual}\tNM:i:{nm}")
+            if p.out_ref:
+                rec += f"\tXR:Z:{_xr_context(self.ref, p, h[0], h[1], L)}"
+            rec += f"\tZS:Z:{CHAIN_FLAG[h[0] % 2]}{CHAIN_FLAG[ch]}\n"
+            out.append(rec)
+
+    # -- unpaired-end record (s_OutHitUnpair, pairs.cpp:418-485) ---------
+    def out_hit_unpair(self, read, L, chain_a: int, chain_b: int, ma: int,
+                       na: int, ha: Optional[Hit], mb: int, hb: Optional[Hit],
+                       out: List[str]):
+        p = self.p
+        flag = 1 | 0x40 * read.readset
+        if ma <= 0:
+            if not p.out_unmap:
+                return
+            if ma < 0:
+                flag |= 0x204
+            if ma == 0:
+                flag |= 0x004
+            if mb <= 0:
+                flag |= 0x008
+                out.append(f"{read.name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t"
+                           f"{read.seq}\t{read.qual}\n")
+            else:
+                if chain_b ^ (hb[0] % 2):
+                    flag |= 0x020
+                mname = self.ref.titles[hb[0] >> 1].name
+                out.append(f"{read.name}\t{flag}\t*\t0\t0\t*\t{mname}\t"
+                           f"{hb[1] + 1}\t0\t{read.seq}\t{read.qual}\n")
+            return
+        rev_seq = chain_a ^ (ha[0] % 2)
+        if ma > 1:
+            flag |= 0x100
+        if rev_seq:
+            flag |= 0x010
+        cig = _cigar(L, ha[2], ha[3])
+        seq = revcomp(read.seq) if rev_seq else read.seq
+        qual = read.qual[::-1] if rev_seq else read.qual
+        name = self.ref.titles[ha[0] >> 1].name
+        if mb <= 0:
+            flag |= 0x008
+            rec = (f"{read.name}\t{flag}\t{name}\t{ha[1] + 1}\t255\t{cig}\t*\t"
+                   f"0\t0\t{seq}\t{qual}\tNM:i:{na}")
+        else:
+            if chain_b ^ (hb[0] % 2):
+                flag |= 0x020
+            mname = self.ref.titles[hb[0] >> 1].name
+            rec = (f"{read.name}\t{flag}\t{name}\t{ha[1] + 1}\t255\t{cig}\t"
+                   f"{mname}\t{hb[1] + 1}\t0\t{seq}\t{qual}\tNM:i:{na}")
+        if p.out_ref:
+            rec += f"\tXR:Z:{_xr_context(self.ref, p, ha[0], ha[1], L)}"
+        rec += f"\tZS:Z:{CHAIN_FLAG[ha[0] % 2]}{CHAIN_FLAG[chain_a]}\n"
+        out.append(rec)
+
+    # -- StringAlignPair (pairs.cpp:204-230) -----------------------------
+    def emit_pair(self, reads, Ls, pairhits, read_index: int,
+                  out: List[str]) -> int:
+        p = self.p
+        for i in range(2 * MAXSNPS + 1):
+            cnt = len(pairhits[i])
+            if cnt > 0:
+                break
+        else:
+            return 0
+        if cnt == 0:
+            return 0
+        if cnt == 1:
+            self.n_unique_pairs += 1
+            self.n_aligned_pairs += 1
+            self.out_hit_pair(reads, Ls, pairhits[i][0], 1, out)
+            return 1
+        self.n_multiple_pairs += 1
+        if p.report_repeat_hits == 1:
+            self.n_aligned_pairs += 1
+            j = self.rng(read_index) % cnt
+            self.out_hit_pair(reads, Ls, pairhits[i][j], cnt, out)
+            return 1
+        if p.report_repeat_hits == 2:
+            self.n_aligned_pairs += 1
+            for j in range(cnt):
+                self.out_hit_pair(reads, Ls, pairhits[i][j], cnt, out)
+            return 1
+        return 0
+
+    # -- StringAlignUnpair (pairs.cpp:232-305) ---------------------------
+    def emit_unpair(self, reads, Ls, scans, filters, out: List[str]):
+        p = self.p
+        picks = []
+        for end in range(2):
+            sc: Optional[ReadScan] = scans[end]
+            if filters[end]:
+                picks.append((-1, 0, None, 0))
+                continue
+            res = sc.result()
+            m = res.nhits
+            if m > 0:
+                rr = self.rng(reads[end].index) % m
+                n0 = len(res.hits0)
+                if rr < n0:
+                    c, h = 0, res.hits0[rr]
+                else:
+                    c, h = 1, res.hits1[rr - n0]
+                picks.append((m, res.stratum % (sc.rms + 1), h, c))
+            else:
+                picks.append((0, (sc.rms + 1) % (sc.rms + 1), None, 0))
+        (ma, na, ha, ca), (mb, nb, hb, cb) = picks
+        ma1 = 0 if (ma > 1 and p.report_repeat_hits == 0) else ma
+        mb1 = 0 if (mb > 1 and p.report_repeat_hits == 0) else mb
+
+        for end, (m, n_, h, c), (om1, oh, oc) in (
+                (0, picks[0], (mb1, hb, cb)), (1, picks[1], (ma1, ha, ca))):
+            read, L = reads[end], Ls[end]
+            sc = scans[end]
+            if m <= 0:
+                if p.out_unmap:
+                    self.out_hit_unpair(read, L, 0, oc, m, 0, h, om1, oh, out)
+            elif m == 1:
+                if end == 0:
+                    self.n_aligned_a += 1
+                    self.n_unique_a += 1
+                else:
+                    self.n_aligned_b += 1
+                    self.n_unique_b += 1
+                self.out_hit_unpair(read, L, c, oc, 1, n_, h, om1, oh, out)
+            else:
+                if end == 0:
+                    self.n_multiple_a += 1
+                else:
+                    self.n_multiple_b += 1
+                if p.report_repeat_hits == 1:
+                    if end == 0:
+                        self.n_aligned_a += 1
+                    else:
+                        self.n_aligned_b += 1
+                    self.out_hit_unpair(read, L, c, oc, m, n_, h, om1, oh, out)
+                elif p.report_repeat_hits == 2:
+                    if end == 0:
+                        self.n_aligned_a += 1
+                    else:
+                        self.n_aligned_b += 1
+                    res = sc.result()
+                    for hh in res.hits0:
+                        self.out_hit_unpair(read, L, 0, oc, m, n_, hh, om1, oh, out)
+                    for hh in res.hits1:
+                        self.out_hit_unpair(read, L, 1, oc, m, n_, hh, om1, oh, out)
+                elif p.out_unmap:
+                    self.out_hit_unpair(read, L, 0, oc, 0, 0, h, om1, oh, out)
+
+
+class PairEndAligner:
+    def __init__(self, params: AlignParams, ref: PackedReference, index):
+        self.p = params
+        self.ref = ref
+        self.index = index
+        self.rng = MyRand(params.randseed)
+        self.sched_a = SeedScheduler(params, index, self.rng)
+        self.sched_b = SeedScheduler(params, index, self.rng)
+        self.dev = DeviceContext(ref, params)
+        self.replayer = Replayer(params, ref, self.rng)
+        self.emitter = PairEmitter(params, ref, self.rng)
+
+    def align_batch(self, reads_a, reads_b) -> str:
+        p = self.p
+        enc_a = encode_batch(p, reads_a)
+        enc_b = encode_batch(p, reads_b)
+        res = []
+        for enc, sched in ((enc_a, self.sched_a), (enc_b, self.sched_b)):
+            table = build_candidates(p, self.index, enc, sched)
+            if table.loc.size:
+                counts, pos0, pos1 = self.dev.extend(
+                    enc, table.loc, table.plane, table.row)
+            else:
+                counts, pos0, pos1 = np.zeros(0, np.int32), None, None
+            res.append((table, counts, pos0, pos1))
+        scans_a = self.replayer.scans(enc_a, *res[0])
+        scans_b = self.replayer.scans(enc_b, *res[1])
+
+        out: List[str] = []
+        pair_reported = 0
+        for i in range(len(reads_a)):
+            ra, rb = reads_a[i], reads_b[i]
+            fa, fb = bool(enc_a.filtered[i]), bool(enc_b.filtered[i])
+            ra.name, rb.name = fix_pair_read_name(ra.name, rb.name)
+            La, Lb = int(enc_a.map_len[i]), int(enc_b.map_len[i])
+            sa, sb = scans_a[i], scans_b[i]
+            pairhits = [[] for _ in range(2 * MAXSNPS + 1)]
+            if not fa and not fb:
+                paired = lockstep_align(p, sa, sb, pairhits)
+            else:
+                paired = 0
+                if not fa:
+                    sa.run_all()
+                if not fb:
+                    sb.run_all()
+            if paired:
+                pair_reported = self.emitter.emit_pair(
+                    (ra, rb), (La, Lb), pairhits, ra.index, out)
+            if pair_reported == 0 or paired == 0:
+                self.emitter.emit_unpair((ra, rb), (La, Lb), (sa, sb),
+                                         (fa, fb), out)
+        return "".join(out)
+
+
+def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
+                 reads_b_path: str, out_fh=None,
+                 command_line: str = "basal_tpu", log=lambda *a: None):
+    t0 = time.time()
+    ref = load_reference(ref_path, params)
+    log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp.")
+    index = build_index(ref, params)
+    log(f"create seed table. {time.time()-t0:.0f} secs passed")
+    aligner = PairEndAligner(params, ref, index)
+    out_fh = out_fh or sys.stdout
+    if params.sam_header:
+        out_fh.write(sam_header(ref, params, command_line))
+    rd_a = open_reads(reads_a_path, params, readset=1)
+    rd_b = open_reads(reads_b_path, params, readset=2)
+    while True:
+        a = rd_a.next_batch()
+        b = rd_b.next_batch()
+        if not a or len(a) != len(b):
+            break
+        out_fh.write(aligner.align_batch(a, b))
+        log(f"{rd_a.index - params.read_start + 1} read pairs finished.")
+    e = aligner.emitter
+    n = max(rd_a.index - params.read_start + 1, 1)
+    log(f"total read pairs: {n} \ttotal time: {time.time()-t0:.0f} secs")
+    log(f"aligned pairs: {e.n_aligned_pairs} ({100.0*e.n_aligned_pairs/n:.1f}%), "
+        f"unique pairs: {e.n_unique_pairs} ({100.0*e.n_unique_pairs/n:.1f}%), "
+        f"non-unique pairs: {e.n_multiple_pairs} ({100.0*e.n_multiple_pairs/n:.1f}%)")
+    return aligner
