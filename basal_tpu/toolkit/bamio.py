@@ -1,0 +1,284 @@
+"""Self-contained BGZF + BAM codec (no external samtools, no pysam).
+
+Replaces both vendored libbam *input* (reads.cpp:34-37,88-107) and the
+reference's ``popen("samtools view -bS -")`` *output* pipe (main.cpp:504-513)
+— the aligner must not silently depend on an external binary (SURVEY §2.2).
+
+BGZF: gzip members with the BC extra field carrying the compressed block
+size; EOF marker block appended on close.  Records follow the SAM/BAM spec
+the reference's libbam (samtools 0.1.18) understands.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional
+
+_BGZF_HDR = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"  # gzip hdr, FEXTRA
+             b"\x06\x00\x42\x43\x02\x00")                   # XLEN=6, BC, len=2
+BGZF_EOF = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00\x42\x43"
+            b"\x02\x00\x1b\x00\x03\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+
+_CIGAR_OPS = "MIDNSHP=X"
+_CIGAR_CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
+_NT16_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+_NT16_CODE.update({c.lower(): i for i, c in enumerate("=acmgrsvtwyhkdbn")})
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """BAM bin computation (SAM spec / bam.h)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BgzfWriter:
+    def __init__(self, path: str, level: int = 6):
+        self.fh = open(path, "wb")
+        self.level = level
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= 0xF000:
+            self._flush_block(self.buf[:0xF000])
+            del self.buf[:0xF000]
+
+    def _flush_block(self, chunk: bytes):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
+        cdata = co.compress(bytes(chunk)) + co.flush()
+        bsize = len(cdata) + 25 + 1
+        out = (_BGZF_HDR + struct.pack("<H", bsize) + cdata
+               + struct.pack("<II", zlib.crc32(bytes(chunk)) & 0xFFFFFFFF,
+                             len(chunk)))
+        self.fh.write(out)
+
+    def close(self):
+        if self.buf:
+            self._flush_block(self.buf)
+            self.buf = bytearray()
+        self.fh.write(BGZF_EOF)
+        self.fh.close()
+
+
+def parse_cigar(cig: str) -> List[tuple]:
+    out = []
+    n = 0
+    for ch in cig:
+        if ch.isdigit():
+            n = n * 10 + ord(ch) - 48
+        else:
+            out.append((n, ch))
+            n = 0
+    return out
+
+
+def encode_aux(tag: str, typ: str, val: str) -> bytes:
+    t = tag.encode()
+    if typ == "i":
+        return t + b"i" + struct.pack("<i", int(val))
+    if typ == "A":
+        return t + b"A" + val.encode()[:1]
+    if typ == "Z":
+        return t + b"Z" + val.encode() + b"\x00"
+    if typ == "f":
+        return t + b"f" + struct.pack("<f", float(val))
+    # B arrays / H hex: pass through as Z for robustness
+    return t + b"Z" + val.encode() + b"\x00"
+
+
+def encode_bam_record(fields: List[str], ref_ids: dict) -> bytes:
+    (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
+     qual) = fields[:11]
+    flag = int(flag)
+    pos = int(pos) - 1
+    refid = ref_ids.get(rname, -1)
+    if rnext == "=":
+        nrefid = refid
+    else:
+        nrefid = ref_ids.get(rnext, -1)
+    npos = int(pnext) - 1
+    cig = [] if cigar == "*" else parse_cigar(cigar)
+    l_seq = 0 if seq == "*" else len(seq)
+    end = pos + 1
+    if cig:
+        end = pos + sum(n for n, op in cig if op in "MDN=X")
+    bin_ = reg2bin(pos if pos >= 0 else 0, end if end > pos else pos + 1)
+    name_b = qname.encode() + b"\x00"
+    rec = bytearray()
+    rec += struct.pack("<iiBBHHHiiii", refid, pos, len(name_b), int(mapq),
+                       bin_, len(cig), flag, l_seq, nrefid, npos, int(tlen))
+    rec += name_b
+    for n, op in cig:
+        rec += struct.pack("<I", (n << 4) | _CIGAR_CODE[op])
+    b = bytearray((l_seq + 1) // 2)
+    for i, c in enumerate(seq if seq != "*" else ""):
+        code = _NT16_CODE.get(c, 15)
+        if i % 2 == 0:
+            b[i // 2] = code << 4
+        else:
+            b[i // 2] |= code
+    rec += b
+    if qual == "*" or seq == "*":
+        rec += b"\xff" * l_seq
+    else:
+        rec += bytes((min(ord(q) - 33, 93) for q in qual))
+    for f in fields[11:]:
+        tag, typ, val = f.split(":", 2)
+        rec += encode_aux(tag, typ, val)
+    return struct.pack("<i", len(rec)) + bytes(rec)
+
+
+class BamWriter:
+    """File-like sink for SAM text that writes a BAM file.
+
+    Buffers header lines until the first record, then emits the BAM header
+    block; thereafter encodes records on the fly.  Used by the CLI for
+    ``-o out.bam`` (replacing main.cpp:504-513's samtools pipe).
+    """
+
+    def __init__(self, path: str):
+        self.bgzf = BgzfWriter(path)
+        self.header_lines: List[str] = []
+        self.refs: List[tuple] = []
+        self.ref_ids: dict = {}
+        self.header_done = False
+        self._tail = ""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def write(self, text: str):
+        data = self._tail + text
+        lines = data.split("\n")
+        self._tail = lines.pop()
+        for line in lines:
+            self._line(line)
+
+    def _line(self, line: str):
+        if not line:
+            return
+        if line.startswith("@"):
+            self.header_lines.append(line)
+            if line.startswith("@SQ"):
+                d = dict(f.split(":", 1) for f in line.split("\t")[1:])
+                self.ref_ids[d["SN"]] = len(self.refs)
+                self.refs.append((d["SN"], int(d["LN"])))
+            return
+        if not self.header_done:
+            self._emit_header()
+        self.bgzf.write(encode_bam_record(line.split("\t"), self.ref_ids))
+
+    def _emit_header(self):
+        text = ("\n".join(self.header_lines) + "\n").encode() \
+            if self.header_lines else b""
+        out = bytearray(b"BAM\x01")
+        out += struct.pack("<i", len(text)) + text
+        out += struct.pack("<i", len(self.refs))
+        for name, ln in self.refs:
+            nb = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        self.bgzf.write(bytes(out))
+        self.header_done = True
+
+    def close(self):
+        if self._tail:
+            self._line(self._tail)
+            self._tail = ""
+        if not self.header_done:
+            self._emit_header()
+        self.bgzf.close()
+
+
+def decode_bam_to_sam(path: str) -> str:
+    """Decode a BAM file to SAM text (for tests and the toolkit)."""
+    import gzip
+    import io
+    fh = io.BufferedReader(gzip.open(path, "rb"))
+    assert fh.read(4) == b"BAM\x01"
+    l_text = struct.unpack("<i", fh.read(4))[0]
+    text = fh.read(l_text).decode(errors="replace")
+    n_ref = struct.unpack("<i", fh.read(4))[0]
+    refs = []
+    for _ in range(n_ref):
+        ln = struct.unpack("<i", fh.read(4))[0]
+        name = fh.read(ln)[:-1].decode()
+        refs.append((name, struct.unpack("<i", fh.read(4))[0]))
+    out = [text.rstrip("\n")] if text else []
+    nt16 = "=ACMGRSVTWYHKDBN"
+    while True:
+        hdr = fh.read(4)
+        if len(hdr) < 4:
+            break
+        sz = struct.unpack("<i", hdr)[0]
+        d = fh.read(sz)
+        (refid, pos, l_rn, mapq, _bin, n_cig, flag, l_seq, nrefid, npos,
+         tlen) = struct.unpack_from("<iiBBHHHiiii", d, 0)
+        off = 32
+        qname = d[off:off + l_rn - 1].decode()
+        off += l_rn
+        cig = ""
+        for i in range(n_cig):
+            v = struct.unpack_from("<I", d, off + 4 * i)[0]
+            cig += f"{v >> 4}{_CIGAR_OPS[v & 0xF]}"
+        off += 4 * n_cig
+        seq = "".join(nt16[(d[off + i // 2] >> (4 if i % 2 == 0 else 0)) & 0xF]
+                      for i in range(l_seq))
+        off += (l_seq + 1) // 2
+        qual = "".join(chr(q + 33) for q in d[off:off + l_seq])
+        off += l_seq
+        rname = refs[refid][0] if refid >= 0 else "*"
+        rnext = "=" if nrefid == refid and nrefid >= 0 else (
+            refs[nrefid][0] if nrefid >= 0 else "*")
+        tags = []
+        while off < len(d):
+            tag = d[off:off + 2].decode()
+            typ = chr(d[off + 2])
+            off += 3
+            if typ in "cC":
+                val = str(d[off] if typ == "C" else
+                          struct.unpack_from("<b", d, off)[0])
+                off += 1
+                typ = "i"
+            elif typ in "sS":
+                val = str(struct.unpack_from("<h" if typ == "s" else "<H",
+                                             d, off)[0])
+                off += 2
+                typ = "i"
+            elif typ in "iI":
+                val = str(struct.unpack_from("<i" if typ == "i" else "<I",
+                                             d, off)[0])
+                off += 4
+                typ = "i"
+            elif typ == "f":
+                val = repr(struct.unpack_from("<f", d, off)[0])
+                off += 4
+            elif typ == "A":
+                val = chr(d[off])
+                off += 1
+            elif typ == "Z":
+                end = d.index(0, off)
+                val = d[off:end].decode()
+                off = end + 1
+            else:
+                break
+            tags.append(f"{tag}:{typ}:{val}")
+        qual_out = "*" if (l_seq and set(qual) == {chr(0xFF + 33)}) else qual
+        fields = [qname, str(flag), rname, str(pos + 1), str(mapq),
+                  cig or "*", rnext, str(npos + 1), str(tlen), seq or "*",
+                  qual_out]
+        out.append("\t".join(fields + tags))
+    return "\n".join(out) + "\n"
