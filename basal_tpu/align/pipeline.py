@@ -77,7 +77,7 @@ class DeviceContext:
 
 class SingleEndAligner:
     def __init__(self, params: AlignParams, ref: PackedReference,
-                 index: SeedIndex):
+                 index: SeedIndex, use_native: Optional[bool] = None):
         self.p = params
         self.ref = ref
         self.index = index
@@ -88,11 +88,18 @@ class SingleEndAligner:
         self.emitter = SamEmitter(params, ref, self.rng)
         self.total_reads = 0
         self.total_candidates = 0
+        from ..native import NativeBatch, native_available
+        if use_native is None:
+            use_native = native_available() and params.randseed != 0
+        self.native = (NativeBatch(params, index, ref)
+                       if use_native else None)
 
     def align_batch(self, reads) -> str:
         enc = encode_batch(self.p, reads)
-        table = build_candidates(self.p, self.index, enc, self.sched)
         self.total_reads += len(reads)
+        if self.native is not None:
+            return self._align_batch_native(enc)
+        table = build_candidates(self.p, self.index, enc, self.sched)
         self.total_candidates += table.loc.size
         if table.loc.size:
             counts, pos0, pos1 = self.dev.extend(
@@ -104,6 +111,34 @@ class SingleEndAligner:
         out: List[str] = []
         for read, res, L in zip(enc.reads, results, enc.map_len):
             self.emitter.emit_read(read, res, int(L), out)
+        return "".join(out)
+
+    def _align_batch_native(self, enc) -> str:
+        from .replay import ReadResult
+        ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
+        (cand_loc, cand_plane, cand_row, groups, goff) = \
+            self.native.build_candidates(enc, ridx)
+        self.total_candidates += cand_loc.size
+        if cand_loc.size:
+            counts, pos0, pos1 = self.dev.extend(
+                enc, cand_loc, cand_plane.astype(np.int32), cand_row)
+        else:
+            counts, pos0, pos1 = np.zeros(0, np.int32), None, None
+        (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = \
+            self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
+                                  counts, pos0, pos1)
+        out: List[str] = []
+        for i, read in enumerate(enc.reads):
+            if stratum[i] < 0:
+                res = ReadResult(filtered=True)
+            else:
+                a, b = int(hoff[i]), int(hoff[i + 1])
+                hits = [(int(hchr[j]), int(hloc[j]), int(hgsz[j]),
+                         int(hgpos[j])) for j in range(a, b)]
+                k0 = int(n0[i])
+                res = ReadResult(filtered=False, stratum=int(stratum[i]),
+                                 nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
+            self.emitter.emit_read(read, res, int(enc.map_len[i]), out)
         return "".join(out)
 
 

@@ -91,18 +91,20 @@ def seeds_from_codes(codes: np.ndarray, valid: np.ndarray, seed_size: int):
     (align.cpp:162-175).
     """
     s = seed_size
-    coll = np.where(codes == 3, 1, codes).astype(np.int64)
+    coll = np.where(codes == 3, 1, codes).astype(np.int32)
     n = codes.shape[-1] - s + 1
     if n <= 0:
         shape = codes.shape[:-1] + (0,)
         return np.zeros(shape, np.uint32), np.zeros(shape, bool)
-    val = np.zeros(codes.shape[:-1] + (n,), dtype=np.int64)
-    bad = np.zeros(codes.shape[:-1] + (n,), dtype=np.int64)
-    inv = (~valid).astype(np.int64)
+    val = np.zeros(codes.shape[:-1] + (n,), dtype=np.int32)
+    pw = POW3.astype(np.int32)
     for j in range(s):
-        val += coll[..., j:j + n] * POW3[s - 1 - j]
-        bad += inv[..., j:j + n]
-    return val.astype(np.uint32), bad > 0
+        val += coll[..., j:j + n] * pw[s - 1 - j]
+    # N flag per window via prefix sums of the invalid mask
+    csum = np.zeros(codes.shape[:-1] + (codes.shape[-1] + 1,), dtype=np.int32)
+    np.cumsum(~valid, axis=-1, out=csum[..., 1:])
+    bad = (csum[..., s:] - csum[..., :n]) > 0
+    return val.astype(np.uint32), bad
 
 
 def pack_planes_u32(codes: np.ndarray, nwords: int) -> np.ndarray:

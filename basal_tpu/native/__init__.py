@@ -1,0 +1,164 @@
+"""ctypes loader for the native host engine (engine.cpp).
+
+Compiles lazily with g++ into a cached .so next to the source; falls back to
+the pure-Python twins (align.candidates / align.replay) when no compiler is
+available.  ``BASAL_TPU_NO_NATIVE=1`` forces the Python path (used by the
+equivalence tests)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "engine.cpp"
+_SO = _DIR / "libbasal_engine.so"
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC),
+             "-o", str(_SO)], check=True, capture_output=True)
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("BASAL_TPU_NO_NATIVE"):
+        return None
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.bt_build_candidates.restype = ctypes.c_int64
+    lib.bt_replay_se.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def _p(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t)) if a is not None else None
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+class NativeBatch:
+    """Native twin of build_candidates + Replayer.replay_batch for SE."""
+
+    def __init__(self, params, index, ref):
+        self.p = params
+        self.index = index
+        self.ref = ref
+        self.profile = params.profile().astype(np.int64)
+        self.state = np.zeros(2, dtype=np.int32)  # xseed_start_offset
+        self.anchors = ref.ref_anchor[:ref.total_num].astype(np.int64)
+        self.rc_off = np.array([t.rc_offset for t in ref.titles], np.int64)
+        self.sizes = np.array([t.size for t in ref.titles], np.int64)
+
+    def build_candidates(self, enc, read_indices):
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        S = enc.seedval.shape[-1] if enc.seedval.size else 1
+        sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1), np.uint32)
+        hn = np.ascontiguousarray(enc.seed_has_n.reshape(B * 2, -1), np.uint8)
+        xf = np.ascontiguousarray(enc.xflag_chain, np.uint8)
+        flt = np.ascontiguousarray(enc.filtered, np.uint8)
+        ridx = np.ascontiguousarray(read_indices, np.uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        args_common = [
+            ctypes.c_int32(B), ctypes.c_int32(S if S else 1),
+            _p(sv, ctypes.c_uint32), _p(hn, ctypes.c_uint8),
+            _p(enc.n_offsets, ctypes.c_int32), _p(enc.map_len, ctypes.c_int32),
+            _p(enc.seedseg_num, ctypes.c_int32), _p(xf, ctypes.c_uint8),
+            _p(flt, ctypes.c_uint8), _p(ridx, ctypes.c_uint32),
+            _p(self.index.starts, ctypes.c_int64),
+            _p(self.index.counts, ctypes.c_int32),
+            _p(self.index.n1, ctypes.c_int32),
+            _p(self.index.locs, ctypes.c_uint32),
+            ctypes.c_int32(p.index_interval), ctypes.c_int32(p.seed_size),
+            ctypes.c_int64(self.index.max_kmer_num),
+            ctypes.c_uint32(p.randseed),
+            _p(self.profile, ctypes.c_int64),
+            ctypes.c_int64(self.profile.shape[1]),
+        ]
+        ng = ctypes.c_int64(0)
+        state0 = self.state.copy()
+        need = lib.bt_build_candidates(
+            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(0),
+            None, None, None, None, None, ctypes.byref(ng))
+        self.state[:] = state0  # pass 2 must see the same initial state
+        C = int(need)
+        NG = int(ng.value)
+        cand_loc = np.empty(C, np.int32)
+        cand_plane = np.empty(C, np.int8)
+        cand_row = np.empty(C, np.int32)
+        groups = np.empty((NG, 9), np.int64)
+        goff = np.empty(B + 1, np.int64)
+        lib.bt_build_candidates(
+            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(1),
+            _p(cand_loc, ctypes.c_int32), _p(cand_plane, ctypes.c_int8),
+            _p(cand_row, ctypes.c_int32),
+            _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
+            ctypes.byref(ng))
+        return cand_loc, cand_plane, cand_row, groups, goff
+
+    def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
+                  counts_dev, pos0, pos1):
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        counts_dev = np.ascontiguousarray(counts_dev, np.int32)
+        pos0c = np.ascontiguousarray(pos0, np.int32) if pos0 is not None else None
+        pos1c = np.ascontiguousarray(pos1, np.int32) if pos1 is not None else None
+        out_stratum = np.empty(B, np.int32)
+        out_n0 = np.empty(B, np.int32)
+        out_n1 = np.empty(B, np.int32)
+        hit_cap = max(B * 8, 4096)
+        while True:
+            hit_chr = np.empty(hit_cap, np.int32)
+            hit_loc = np.empty(hit_cap, np.int32)
+            hit_gsz = np.empty(hit_cap, np.int32)
+            hit_gpos = np.empty(hit_cap, np.int32)
+            hit_chain = np.empty(hit_cap, np.uint8)
+            hoff = np.empty(B + 1, np.int64)
+            rc = lib.bt_replay_se(
+                ctypes.c_int32(B),
+                _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
+                _p(counts_dev, ctypes.c_int32),
+                _p(pos0c, ctypes.c_int32), _p(pos1c, ctypes.c_int32),
+                _p(cand_loc, ctypes.c_int32), _p(cand_plane, ctypes.c_int8),
+                _p(self.anchors, ctypes.c_int64),
+                ctypes.c_int32(len(self.anchors)),
+                _p(self.rc_off, ctypes.c_int64), _p(self.sizes, ctypes.c_int64),
+                _p(enc.map_len, ctypes.c_int32),
+                _p(enc.read_max_snp, ctypes.c_int32),
+                _p(enc.seedseg_num, ctypes.c_int32),
+                _p(np.ascontiguousarray(enc.filtered, np.uint8), ctypes.c_uint8),
+                ctypes.c_int32(p.seed_size), ctypes.c_int32(p.gap),
+                ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
+                ctypes.c_int32(1 if p.nt3 else 0),
+                _p(out_stratum, ctypes.c_int32), _p(out_n0, ctypes.c_int32),
+                _p(out_n1, ctypes.c_int32),
+                ctypes.c_int64(hit_cap),
+                _p(hit_chr, ctypes.c_int32), _p(hit_loc, ctypes.c_int32),
+                _p(hit_gsz, ctypes.c_int32), _p(hit_gpos, ctypes.c_int32),
+                _p(hit_chain, ctypes.c_uint8), _p(hoff, ctypes.c_int64))
+            if rc == 0:
+                break
+            hit_cap *= 4
+        return (out_stratum, out_n0, out_n1,
+                hit_chr, hit_loc, hit_gsz, hit_gpos, hit_chain, hoff)

@@ -1,0 +1,356 @@
+// basal_tpu native host engine (C ABI, loaded via ctypes).
+//
+// Implements the sequential, order-sensitive host half of the aligner at
+// native speed; the mismatch counting itself runs on the TPU.  Semantics are
+// an exact twin of the Python modules (basal_tpu.align.candidates /
+// basal_tpu.align.replay), which remain the golden reference in tests, and
+// both replicate the upstream BASAL logic:
+//   seed scheduling    ReorderSeed/AdjustSeedStartArray/CountSeeds
+//                                             (ref: align.cpp:468-546)
+//   candidate expand   SnpAlign probe loop    (ref: align.cpp:274-316)
+//   scan replay        AddHit/GapAlign/RunAlign (ref: align.cpp:228-466)
+//
+// Build: g++ -O2 -shared -fPIC engine.cpp -o libbasal_engine.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <unordered_set>
+
+using u8 = uint8_t;
+using i8 = int8_t;
+using u32 = uint32_t;
+using i32 = int32_t;
+using u64 = uint64_t;
+using i64 = int64_t;
+
+namespace {
+
+constexpr int MAXSNPS = 15;
+constexpr int KPOS = 14;
+
+struct Shared {
+    // read batch
+    i32 B;
+    i32 S;                 // seed-offset array stride
+    const u32* seedval;    // [B,2,S]
+    const u8* has_n;       // [B,2,S]
+    const i32* n_offsets;  // [B]
+    const i32* map_len;    // [B]
+    const i32* seedseg;    // [B]
+    const u8* xflag;       // [B,2]
+    const u8* filtered;    // [B]
+    const u32* read_index; // [B]
+    // seed index
+    const i64* starts;
+    const i32* counts;
+    const i32* n1;
+    const u32* locs;
+    // params
+    i32 I, s, gap, gap_edge, max_num_hits, nt3;
+    i64 max_kmer_num;
+    u32 randseed;
+    const i64* profile;    // [16,16] row-major
+    i64 prof_stride;
+};
+
+// myrand splittable hash (ref: utilities.cpp:38-48)
+static inline u32 myrand_hash(u32 idx, u32 randseed) {
+    u64 v = (u64)idx + (u32)(randseed * 1000000u);
+    v = v * 3935559000370003845ULL + 2691343689449507681ULL;
+    v ^= v >> 21; v ^= v << 37; v ^= v >> 4;
+    v *= 4768777513237032717ULL;
+    v ^= v << 20; v ^= v >> 41; v ^= v << 5;
+    return (u32)(v & 0xffffffffULL);
+}
+
+// CountSeeds (ref: align.cpp:526-540): u32-wrapping sum, sticky <<12 N weight
+static inline u32 count_seeds(const Shared& sh, const u32* sv, const u8* hn,
+                              i32 n_off, i32 seg, i32 start) {
+    u32 total = 0;
+    u32 k = 0;
+    for (i32 i = 0; i < sh.I; ++i) {
+        i64 off = sh.profile[seg * sh.prof_stride + i] + start - i;
+        if (off < 0 || off >= n_off) continue;  // stale-state path: count 0
+        if (hn[off]) k = 12;
+        total += ((u32)sh.counts[sv[off]]) << k;
+    }
+    if (total == 0) total = 9999999u;
+    return total;
+}
+
+struct Sched {
+    i32 start_arr[MAXSNPS + 1];
+    i32 order[MAXSNPS + 1];
+    bool active;
+};
+
+// ReorderSeed + AdjustSeedStartArray (ref: align.cpp:468-524)
+static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
+                          Sched out[2]) {
+    i32 L = sh.map_len[r];
+    i32 segnum = sh.seedseg[r];
+    i32 max_offset = (L - sh.I + 1) % sh.s;
+    for (int chain = 0; chain < 2; ++chain) {
+        out[chain].active = sh.xflag[r * 2 + chain] != 0;
+        if (!out[chain].active) continue;
+        const u32* sv = sh.seedval + ((i64)r * 2 + chain) * sh.S;
+        const u8* hn = sh.has_n + ((i64)r * 2 + chain) * sh.S;
+        i32 n_off = sh.n_offsets[r];
+        if (max_offset > 0) {
+            u32 best = 0xffffffffu;
+            for (i32 i = 0; i < max_offset; ++i) {
+                u32 tt = 0;
+                for (i32 seg = 0; seg < segnum; ++seg)
+                    tt += count_seeds(sh, sv, hn, n_off, seg, i);
+                if (tt < best) { best = tt; start_offset_state[chain] = i; }
+            }
+        }
+        i32* sa = out[chain].start_arr;
+        for (i32 i = 0; i < segnum; ++i) sa[i] = start_offset_state[chain];
+        // outside-in relaxation
+        for (i32 i = 0; i < segnum; ++i) {
+            i32 ptr = (i % 2 == 0) ? i / 2 : segnum - 1 - i / 2;
+            i32 lo = (ptr == 0) ? 0 : sa[ptr - 1];
+            i32 hi = (ptr == segnum - 1) ? max_offset : sa[ptr + 1];
+            u32 total = 0xffffffffu;
+            sa[ptr] = lo;
+            for (i32 ii = lo; ii <= hi; ++ii) {
+                u32 tt = count_seeds(sh, sv, hn, n_off, ptr, ii);
+                if (tt < total) { total = tt; sa[ptr] = ii; }
+            }
+        }
+        // sort segments by (count-as-int, segid)
+        std::pair<i32, i32> keys[MAXSNPS + 1];
+        for (i32 seg = 0; seg < segnum; ++seg)
+            keys[seg] = { (i32)count_seeds(sh, sv, hn, n_off, seg, sa[seg]), seg };
+        std::sort(keys, keys + segnum);
+        for (i32 seg = 0; seg < segnum; ++seg) out[chain].order[seg] = keys[seg].second;
+    }
+}
+
+// Candidate group (one seed probe); mirrors basal_tpu.align.candidates.CandGroup
+struct Group {
+    i64 read, chain, mode, seg, h, start, m, mc, jj0;
+};
+static_assert(sizeof(Group) == 9 * 8, "group layout");
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1 (fill=0): returns needed candidate capacity, sets *out_ngroups.
+// Pass 2 (fill=1): fills cand/group buffers.  start_offset_state must hold
+// the same initial values for both passes (caller snapshots/restores).
+i64 bt_build_candidates(
+    i32 B, i32 S,
+    const u32* seedval, const u8* has_n, const i32* n_offsets,
+    const i32* map_len, const i32* seedseg, const u8* xflag,
+    const u8* filtered, const u32* read_index,
+    const i64* starts, const i32* counts, const i32* n1, const u32* locs,
+    i32 I, i32 s, i64 max_kmer_num, u32 randseed,
+    const i64* profile, i64 prof_stride,
+    i32* start_offset_state,
+    i32 fill,
+    i32* cand_loc, i8* cand_plane, i32* cand_row,
+    Group* groups, i64* group_offsets /*[B+1]*/, i64* out_ngroups)
+{
+    Shared sh{B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
+              filtered, read_index, starts, counts, n1, locs,
+              I, s, 0, 0, 0, 0, max_kmer_num, randseed, profile, prof_stride};
+    i64 flat = 0, ng = 0;
+    Sched sc[2];
+    for (i32 r = 0; r < B; ++r) {
+        if (group_offsets) group_offsets[r] = ng;
+        if (filtered[r] || seedseg[r] <= 0) continue;
+        schedule_read(sh, r, start_offset_state, sc);
+        u32 rv = myrand_hash(read_index[r], randseed);
+        for (int chain = 0; chain < 2; ++chain) {
+            if (!sc[chain].active) continue;
+            const u32* sv = seedval + ((i64)r * 2 + chain) * S;
+            for (i32 mode = 0; mode < seedseg[r]; ++mode) {
+                i32 seg = sc[chain].order[mode];
+                for (i32 i = 0; i < I; ++i) {
+                    i64 off = profile[seg * prof_stride + i]
+                              + sc[chain].start_arr[seg] - i;
+                    u32 sd = sv[off];
+                    i64 m = counts[sd];
+                    if (m == 0 || m > max_kmer_num) continue;
+                    i64 h = off;  // h == seed offset in read (profile+start-i)
+                    if (fill) {
+                        const u32* lp = locs + starts[sd];
+                        for (i64 j = 0; j < m; ++j) {
+                            cand_loc[flat + j] = (i32)((i64)lp[j] - h);
+                            cand_plane[flat + j] = (i8)(j >= n1[sd] ? 1 : 0);
+                            cand_row[flat + j] = r * 2 + chain;
+                        }
+                        groups[ng] = Group{r, chain, mode, seg, h, flat, m,
+                                           (i64)n1[sd] - 1, (i64)(rv % (u32)m)};
+                    }
+                    flat += m;
+                    ++ng;
+                }
+            }
+        }
+    }
+    if (group_offsets) group_offsets[B] = ng;
+    *out_ngroups = ng;
+    return flat;
+}
+
+// SE scan replay (ref: align.cpp:228-466).  Outputs best-stratum buckets.
+// Returns 0 ok, -1 if hit_cap insufficient (caller enlarges and retries).
+i64 bt_replay_se(
+    i32 B,
+    const Group* groups, const i64* group_offsets,
+    const i32* counts_dev,
+    const i32* pos0,            // [C,KPOS] or nullptr
+    const i32* pos1,            // [C,2*gap,KPOS] or nullptr
+    const i32* cand_loc, const i8* cand_plane,
+    const i64* anchors, i32 n_chr, const i64* rc_off, const i64* sizes,
+    const i32* map_len, const i32* read_max_snp, const i32* seedseg,
+    const u8* filtered,
+    i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
+    // outputs
+    i32* out_stratum, i32* out_n0, i32* out_n1,
+    i64 hit_cap,
+    i32* hit_chr, i32* hit_loc, i32* hit_gsz, i32* hit_gpos, u8* hit_chain,
+    i64* hit_offsets /*[B+1]*/)
+{
+    struct H { i32 chr, loc, gsz, gpos; };
+    std::vector<H> buckets[2][MAXSNPS + 1];
+    std::unordered_set<u64> seen;
+    i64 hw = 0;
+    const i32 gap2 = 2 * gap;
+
+    for (i32 r = 0; r < B; ++r) {
+        hit_offsets[r] = hw;
+        out_stratum[r] = 0; out_n0[r] = 0; out_n1[r] = 0;
+        if (filtered[r]) { out_stratum[r] = -1; continue; }
+        i32 L = map_len[r];
+        i32 rms = read_max_snp[r];
+        i32 snp_thres = rms;
+        for (int c = 0; c < 2; ++c)
+            for (int w = 0; w <= MAXSNPS; ++w) buckets[c][w].clear();
+        seen.clear();
+
+        // int2hit chr resolution helper
+        auto resolve = [&](i32 loc_cat, int plane, i32 gsz, i32 gpos,
+                           H& out_h) {
+            // binary search: last anchor <= loc (ref: align.cpp:325-333)
+            i32 lo = 0, hi = n_chr;
+            while (lo < hi - 1) {
+                i32 mid = (lo + hi) / 2;
+                if ((i64)loc_cat >= anchors[mid]) lo = mid; else hi = mid;
+            }
+            i64 local = (i64)loc_cat - anchors[lo];
+            i32 gp = gpos;
+            if (plane) {
+                local = rc_off[lo] - L - local;
+                gp = L + (gsz < 0 ? gsz : 0) - gpos;
+                local -= gsz;
+            }
+            out_h = H{(i32)(2 * lo + plane), (i32)local, gsz, gp};
+        };
+
+        // AddHit (ref: align.cpp:329-347); returns 1 => abort current SnpAlign
+        auto add_hit = [&](int chain, i32 w, const H& h) -> int {
+            if (h.loc < 0) return 0;
+            if ((u32)h.loc + (u32)L > (u64)sizes[h.chr >> 1]) return 0;
+            u64 key = ((u64)(h.gsz != 0) << 63) | ((u64)(u32)(h.chr >> 1) << 32)
+                      | (u64)(u32)h.loc;
+            if (!seen.insert(key).second) return 0;
+            buckets[chain][w].push_back(h);
+            if ((i32)(buckets[0][w].size() + buckets[1][w].size()) >= max_num_hits) {
+                if (w == 0) return 1;
+                snp_thres = w - 1;
+            }
+            return 0;
+        };
+
+        // GapAlign (ref: align.cpp:348-410)
+        auto gap_align = [&](i64 ci, int chain, int plane, i64 seed_pos) -> int {
+            if (snp_thres < 2) return 0;
+            const i32* p0 = pos0 + ci * KPOS;
+            i32 ret0 = p0[snp_thres - 2];
+            if (ret0 < (i32)(seed_pos + seed_size)) return 0;
+            for (i32 tt = 1; tt <= gap2; ++tt) {
+                i32 t = (tt + 1) / 2;
+                i32 shift = (1 - (tt % 2) * 2) * t;
+                i32 shift1 = shift < 0 ? shift : 0;
+                if (snp_thres < 1 + t) break;
+                i32 rl = L - t - 1;
+                const i32* mmi2 = pos1 + (ci * gap2 + (tt - 1)) * KPOS;
+                for (i32 i = 0; i < snp_thres - t; ++i) {
+                    i32 gpos = p0[i];
+                    if (gpos < gap_edge || gpos >= rl) continue;
+                    for (i32 j = 0; j < snp_thres - t - i; ++j) {
+                        i32 m2 = mmi2[j];
+                        if (m2 < gap_edge || m2 >= rl) continue;
+                        if (gpos + m2 - shift1 < L) continue;
+                        i32 gap_snp = i + j + t;
+                        i32 clip = gpos + gap_edge - L - shift1;
+                        if (clip > 0) gpos -= clip;
+                        H h;
+                        resolve(cand_loc[ci], plane, shift, gpos, h);
+                        return add_hit(chain, gap_snp, h);
+                    }
+                }
+            }
+            return 0;
+        };
+
+        // RunAlign stratum loop
+        bool stop = false;
+        for (i32 mode = 0; mode < seedseg[r] && !stop; ++mode) {
+            bool abort_mode = false;
+            for (i64 gi = group_offsets[r]; gi < group_offsets[r + 1] && !abort_mode; ++gi) {
+                const Group& g = groups[gi];
+                if (g.mode != mode) continue;
+                i64 m = g.m, jj = g.jj0;
+                for (i64 it = 0; it < m; ++it) {
+                    i64 ci = g.start + jj;
+                    int plane = jj > g.mc ? 1 : 0;
+                    i32 cnt = counts_dev[ci];
+                    if (cnt <= snp_thres) {
+                        H h;
+                        resolve(cand_loc[ci], plane, 0, 0, h);
+                        if (add_hit((int)g.chain, cnt, h)) { abort_mode = true; break; }
+                    }
+                    if (gap > 0)
+                        if (gap_align(ci, (int)g.chain, plane, g.h)) { abort_mode = true; break; }
+                    if (++jj >= m) jj -= m;
+                }
+            }
+            if (abort_mode) break;
+            if (!nt3) {
+                for (i32 ii = 0; ii <= std::min(mode, rms); ++ii)
+                    if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) { stop = true; break; }
+            }
+        }
+
+        // StringAlign stratum pick
+        i32 best = rms + 1;
+        for (i32 ii = 0; ii <= rms; ++ii)
+            if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) { best = ii; break; }
+        out_stratum[r] = best;
+        if (best <= rms) {
+            i64 need = (i64)(buckets[0][best].size() + buckets[1][best].size());
+            if (hw + need > hit_cap) return -1;
+            out_n0[r] = (i32)buckets[0][best].size();
+            out_n1[r] = (i32)buckets[1][best].size();
+            for (int c = 0; c < 2; ++c)
+                for (const H& h : buckets[c][best]) {
+                    hit_chr[hw] = h.chr; hit_loc[hw] = h.loc;
+                    hit_gsz[hw] = h.gsz; hit_gpos[hw] = h.gpos;
+                    hit_chain[hw] = (u8)c;
+                    ++hw;
+                }
+        }
+    }
+    hit_offsets[B] = hw;
+    return 0;
+}
+
+}  // extern "C"

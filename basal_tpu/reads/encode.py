@@ -88,60 +88,72 @@ def _trim_lowqual(p: AlignParams, seq: str, qual: str):
 
 def filter_and_trim(params: AlignParams, reads: List[ReadRec]):
     """Run FilterReads semantics over a batch; mutates seq/qual in place.
-    Returns (filtered bool[B], raw_len, read_max_snp, n_count)."""
+    Returns (filtered bool[B], raw_len, read_max_snp, n_count, chars[B, lmax]).
+
+    The trimming passes (adapter / low-quality) only loop per read when the
+    corresponding option is active; the common path is fully vectorized."""
     p = params
     B = len(reads)
-    filtered = np.zeros(B, dtype=bool)
-    raw_len = np.zeros(B, dtype=np.int32)
-    budget = np.zeros(B, dtype=np.int32)
-    n_count = np.zeros(B, dtype=np.int32)
-    for i, r in enumerate(reads):
-        if p.max_snp_num < 100:
-            rms = p.max_snp_num
-        else:
-            rms = int((p.max_snp_num - 100) / 100.0 * len(r.seq) + 0.5)
-        if p.gap > 0:
-            rms = rms + 1 + p.gap  # align.cpp:554
-        rms = min(rms, MAXSNPS)
-        raw_len[i] = len(r.seq)   # TrimAdapter sets raw_readlen first (align.cpp:420)
-        if p.adapters:
+    raw_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
+    qc_fail = np.zeros(B, dtype=bool)
+
+    # per-read budget before trimming (align.cpp:550-556)
+    if p.max_snp_num < 100:
+        rms = np.full(B, p.max_snp_num, dtype=np.int64)
+    else:
+        rms = ((p.max_snp_num - 100) / 100.0 * raw_len + 0.5).astype(np.int64)
+    if p.gap > 0:
+        rms = rms + 1 + p.gap
+    rms = np.minimum(rms, MAXSNPS)
+
+    if p.adapters:
+        for r in reads:
             r.seq, r.qual = _trim_adapter(p, r.seq, r.qual)
-        r.seq, r.qual, fail = _trim_lowqual(p, r.seq, r.qual)
-        if fail or len(r.seq) < p.min_read_size:
-            filtered[i] = True
-            continue
-        ncnt = sum(1 for c in r.seq if REG_ALPHABET[ord(c)] == 0)
-        if ncnt > p.max_ns:
-            filtered[i] = True
-            continue
-        if p.n_mis:
-            n_count[i] = ncnt
-        budget[i] = (rms + 1) * (len(r.seq) - 1) // raw_len[i]  # align.cpp:561
-    return filtered, raw_len, budget, n_count
+    needs_qual_pass = p.qual_threshold != 0 or p.zero_qual != ord("!")
+    if needs_qual_pass:
+        for i, r in enumerate(reads):
+            r.seq, r.qual, fail = _trim_lowqual(p, r.seq, r.qual)
+            qc_fail[i] = fail
+    else:
+        for r in reads:  # qual-length fix (align.cpp:54-55)
+            if len(r.seq) != len(r.qual):
+                r.qual = chr(p.zero_qual + p.default_qual) * len(r.seq)
+
+    map_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
+    lmax = max(int(map_len.max(initial=1)), p.seed_size)
+    chars = np.full((B, lmax), ord("N"), dtype=np.uint8)
+    for i, r in enumerate(reads):
+        chars[i, :map_len[i]] = np.frombuffer(r.seq.encode("latin1"), np.uint8)
+
+    ncnt = ((REG_ALPHABET[chars] == 0)
+            & (np.arange(lmax)[None, :] < map_len[:, None])).sum(1)
+    filtered = qc_fail | (map_len < p.min_read_size) | (ncnt > p.max_ns)
+    n_count = (ncnt.astype(np.int32) if p.n_mis
+               else np.zeros(B, dtype=np.int32))
+    n_count[filtered] = 0
+    budget = ((rms + 1) * np.maximum(map_len - 1, 0)
+              // np.maximum(raw_len, 1)).astype(np.int32)  # align.cpp:561
+    budget[filtered] = 0
+    return filtered, raw_len, budget, n_count, chars
 
 
 def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
     p = params
     rule = p.rule
-    filtered, raw_len, budget, n_count = filter_and_trim(p, reads)
+    filtered, raw_len, budget, n_count, chars = filter_and_trim(p, reads)
     B = len(reads)
     map_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
-    lmax = max(int(map_len.max(initial=1)), p.seed_size)
-    W = max(4, -(-(lmax) // 16) + 0)  # words covering lmax
-
-    # char matrix [B, lmax], 'N'-padded so LUTs yield code 0 / invalid
-    chars = np.full((B, lmax), ord("N"), dtype=np.uint8)
-    for i, r in enumerate(reads):
-        b = np.frombuffer(r.seq.encode("latin1"), dtype=np.uint8)
-        chars[i, :len(b)] = b
+    lmax = chars.shape[1]
+    W = max(4, -(-(lmax) // 16))  # words covering lmax
 
     # chain 0: as-is; chain 1: reversed chars through rev_* LUTs.  The
     # reference right-aligns nothing — the reversed read also starts at
-    # position 0 (align.cpp:193-199): reverse each row by its own length.
-    rev = np.full_like(chars, ord("N"))
-    for i in range(B):
-        L = map_len[i]
-        rev[i, :L] = chars[i, :L][::-1]
+    # position 0 (align.cpp:193-199): reverse each row by its own length,
+    # done batched via a roll-by-length gather.
+    idx = (map_len[:, None] - 1 - np.arange(lmax)[None, :])
+    pad_mask = idx < 0
+    rev = np.take_along_axis(chars, np.where(pad_mask, 0, idx), axis=1)
+    rev[pad_mask] = ord("N")
 
     codes = np.empty((B, 2, lmax), dtype=np.uint8)
     mreadc = np.empty((B, 2, lmax), dtype=np.uint8)
@@ -159,9 +171,8 @@ def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
         base = xt_collapse32(base)
     valid = pack_planes_u32(validc.reshape(2 * B, lmax), W)
     mread = pack_planes_u32(mreadc.reshape(2 * B, lmax), W)
-    lenc = np.zeros((B, lmax), dtype=np.uint8)
-    for i in range(B):
-        lenc[i, :map_len[i]] = 3
+    lenc = np.where(np.arange(lmax)[None, :] < map_len[:, None], 3, 0) \
+        .astype(np.uint8)
     lenmask = pack_planes_u32(np.repeat(lenc, 2, axis=0), W)
 
     seedval, has_n = seeds_from_codes(
