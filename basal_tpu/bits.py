@@ -100,9 +100,13 @@ def seeds_from_codes(codes: np.ndarray, valid: np.ndarray, seed_size: int):
     pw = POW3.astype(np.int32)
     for j in range(s):
         val += coll[..., j:j + n] * pw[s - 1 - j]
-    # N flag per window via prefix sums of the invalid mask
+    # N flag per window via prefix sums of the invalid mask; fast path when
+    # the batch has no invalid bases at all (the common case)
+    inv = ~valid
+    if not inv.any():
+        return val.astype(np.uint32), np.zeros(val.shape, bool)
     csum = np.zeros(codes.shape[:-1] + (codes.shape[-1] + 1,), dtype=np.int32)
-    np.cumsum(~valid, axis=-1, out=csum[..., 1:])
+    np.cumsum(inv, axis=-1, out=csum[..., 1:])
     bad = (csum[..., s:] - csum[..., :n]) > 0
     return val.astype(np.uint32), bad
 
