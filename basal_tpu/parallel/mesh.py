@@ -1,0 +1,158 @@
+"""Multi-chip execution: device-mesh sharding of the alignment step.
+
+The reference's only parallelism is a single-node pthread pool over read
+batches (main.cpp:56-130).  The TPU-native replacements here (SURVEY §2.4):
+
+* **Data parallelism** over candidates/reads: shard the candidate table over
+  a ``dp`` mesh axis; the packed reference is replicated.  This is the
+  production path whenever the reference planes fit in one chip's HBM
+  (human genome 2-bit: ~0.4 GB/plane).
+
+* **Reference sharding** over an ``rs`` axis for genomes/transcriptomes that
+  exceed HBM: each shard holds a contiguous halo-extended window-word range
+  of both planes; every shard evaluates every candidate but masks those whose
+  window falls outside its range, and results merge with ``lax.pmin`` over
+  ``rs`` (exactly one shard owns any candidate, others contribute +inf).
+  Collectives ride ICI; no host gather.
+
+Deterministic merge: counts/positions are combined with min, which is
+placement-invariant, so multi-host output equals single-host bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.extend import K_POS, extend_kernel
+
+BIG = np.int32(1 << 30)
+
+
+def make_mesh(n_dp: int, n_rs: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()[:n_dp * n_rs]
+    arr = np.asarray(devices).reshape(n_dp, n_rs)
+    return Mesh(arr, axis_names=("dp", "rs"))
+
+
+def shard_reference(ref32: np.ndarray, n_rs: int, halo: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Split both planes into n_rs contiguous word ranges with ``halo`` extra
+    words on the right edge (windows may read up to halo words past a shard's
+    first-word range).  Returns (shards [n_rs, 2, shard_w + halo],
+    shard_start [n_rs])."""
+    nw = ref32.shape[1]
+    shard_w = -(-nw // n_rs)
+    shards = np.zeros((n_rs, 2, shard_w + halo), dtype=np.uint32)
+    starts = np.zeros(n_rs, dtype=np.int32)
+    for i in range(n_rs):
+        a = i * shard_w
+        b = min(a + shard_w + halo, nw)
+        shards[i, :, :b - a] = ref32[:, a:b]
+        starts[i] = a
+    return shards, starts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "gap", "W", "shard_w", "mesh_def"))
+def _sharded_extend(ref_shards, shard_start, loc, plane, row, base, valid,
+                    mread, lenmask, ncnt, readlen, *, mode, gap, W, shard_w,
+                    mesh_def):
+    """dp x rs sharded extension.  ``loc``/``plane``/``row`` are sharded over
+    dp and replicated over rs; ref shards live one per rs index."""
+    mesh = mesh_def
+
+    def body(ref_s, start_s, loc_s, plane_s, row_s, base_s, valid_s, mread_s,
+             lenmask_s, ncnt_s, readlen_s):
+        ref_s = ref_s[0]          # [1, 2, w] block -> [2, w]
+        start = start_s[0]
+        halo_w = ref_s.shape[-1] - shard_w
+        k0 = (loc_s >> 4) - (1 if gap > 0 else 0)
+        wg = (W + 3) if gap > 0 else (W + 1)
+        in_shard = (k0 >= start) & (k0 + wg <= start + shard_w + halo_w)
+        # clamp out-of-shard gathers into range; results masked later
+        loc_local = jnp.where(in_shard, loc_s - start * 16, 12800)
+        nw_local = ref_s.shape[-1]
+        res = extend_kernel(
+            ref_s.reshape(-1), loc_local, plane_s, row_s, base_s, valid_s,
+            mread_s, lenmask_s, ncnt_s, readlen_s,
+            mode=mode, gap=gap, W=W, nw=nw_local)
+        if gap > 0:
+            counts, pos0, pos1 = res
+            counts = jnp.where(in_shard, counts, BIG)
+            pos0 = jnp.where(in_shard[:, None], pos0, BIG)
+            pos1 = jnp.where(in_shard[:, None, None], pos1, BIG)
+            counts = jax.lax.pmin(counts, "rs")
+            pos0 = jax.lax.pmin(pos0, "rs")
+            pos1 = jax.lax.pmin(pos1, "rs")
+            return counts, pos0, pos1
+        counts = jnp.where(in_shard, res, BIG)
+        return (jax.lax.pmin(counts, "rs"),)
+
+    spec_c = P("dp")            # candidates sharded over dp, replicated over rs
+    spec_2d = P(None, None)     # read planes replicated
+    spec_1d = P(None)
+    out_spec = (P("dp"),) if gap == 0 else (P("dp"), P("dp"), P("dp"))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("rs", None, None), P("rs"), spec_c, spec_c, spec_c,
+                  spec_2d, spec_2d, spec_2d, spec_2d, spec_1d, spec_1d),
+        out_specs=out_spec,
+    )
+    return fn(ref_shards, shard_start, loc, plane, row, base, valid, mread,
+              lenmask, ncnt, readlen)
+
+
+class ShardedDeviceContext:
+    """Drop-in replacement for align.pipeline.DeviceContext running the
+    extension step over a (dp, rs) mesh."""
+
+    def __init__(self, ref, params, mesh: Mesh):
+        from ..align.pipeline import _mode_name
+        self.params = params
+        self.mesh = mesh
+        self.n_dp = mesh.shape["dp"]
+        self.n_rs = mesh.shape["rs"]
+        nw = ref.ref32.shape[1]
+        self.shard_w = -(-nw // self.n_rs)
+        halo = 64  # > W+3 words for any read length <= 480
+        shards, starts = shard_reference(ref.ref32, self.n_rs, halo)
+        self.ref_dev = jax.device_put(
+            shards, NamedSharding(mesh, P("rs", None, None)))
+        self.start_dev = jax.device_put(
+            starts, NamedSharding(mesh, P("rs")))
+        self.mode = _mode_name(params)
+
+    def extend(self, enc, loc, plane, row):
+        p = self.params
+        C = loc.shape[0]
+        unit = 256 * self.n_dp
+        cpad = max(unit, -(-C // unit) * unit)
+        pad = cpad - C
+
+        def padc(a, fill=0):
+            return np.pad(a, (0, pad), constant_values=fill)
+
+        csh = NamedSharding(self.mesh, P("dp"))
+        rsh = NamedSharding(self.mesh, P())
+        res = _sharded_extend(
+            self.ref_dev, self.start_dev,
+            jax.device_put(padc(loc, 12800).astype(np.int32), csh),
+            jax.device_put(padc(plane).astype(np.int32), csh),
+            jax.device_put(padc(row).astype(np.int32), csh),
+            jax.device_put(enc.base, rsh), jax.device_put(enc.valid, rsh),
+            jax.device_put(enc.mread, rsh), jax.device_put(enc.lenmask, rsh),
+            jax.device_put(np.repeat(enc.n_count, 2).astype(np.int32), rsh),
+            jax.device_put(np.repeat(enc.map_len, 2).astype(np.int32), rsh),
+            mode=self.mode, gap=p.gap, W=enc.W, shard_w=self.shard_w,
+            mesh_def=self.mesh)
+        if p.gap > 0:
+            counts, pos0, pos1 = res
+            return (np.asarray(counts)[:C], np.asarray(pos0)[:C],
+                    np.asarray(pos1)[:C])
+        return np.asarray(res[0])[:C], None, None
