@@ -46,7 +46,10 @@ class DeviceContext:
         self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))
         self.mode = _mode_name(params)
 
-    def extend(self, enc: EncodedBatch, loc, plane, row):
+    def extend_async(self, enc: EncodedBatch, loc, plane, row):
+        """Dispatch the extension kernel; returns (C, device result) without
+        blocking, so host work for the next batch can overlap the device +
+        transfer time (async dispatch)."""
         from ..ops.extend import extend_kernel
         p = self.params
         C = loc.shape[0]
@@ -56,23 +59,43 @@ class DeviceContext:
         def padc(a, fill=0):
             return np.pad(a, (0, pad), constant_values=fill)
 
+        # pad read rows to a pow2 bucket too — every distinct (C, R, W)
+        # triple would otherwise trigger a fresh XLA compile (expensive
+        # through the remote-TPU tunnel)
+        R = enc.base.shape[0]
+        rpad = max(512, 1 << (R - 1).bit_length()) - R
+
+        def padr(a):
+            return np.pad(a, ((0, rpad), (0, 0))) if rpad else a
+
+        def padr1(a):
+            return np.pad(a, (0, rpad)) if rpad else a
+
         args = dict(
             ref32=self.ref32_dev,
             loc=jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
             plane=jnp.asarray(padc(plane), dtype=jnp.int32),
             row=jnp.asarray(padc(row), dtype=jnp.int32),
-            base=jnp.asarray(enc.base), valid=jnp.asarray(enc.valid),
-            mread=jnp.asarray(enc.mread), lenmask=jnp.asarray(enc.lenmask),
-            ncnt=jnp.asarray(np.repeat(enc.n_count, 2), dtype=jnp.int32),
-            readlen=jnp.asarray(np.repeat(enc.map_len, 2), dtype=jnp.int32),
+            base=jnp.asarray(padr(enc.base)), valid=jnp.asarray(padr(enc.valid)),
+            mread=jnp.asarray(padr(enc.mread)),
+            lenmask=jnp.asarray(padr(enc.lenmask)),
+            ncnt=jnp.asarray(padr1(np.repeat(enc.n_count, 2)), dtype=jnp.int32),
+            readlen=jnp.asarray(padr1(np.repeat(enc.map_len, 2)),
+                                dtype=jnp.int32),
         )
         res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
                             nw=self.nw)
-        if p.gap > 0:
+        return C, res
+
+    def fetch(self, C, res):
+        if self.params.gap > 0:
             counts, pos0, pos1 = res
             return (np.asarray(counts)[:C], np.asarray(pos0)[:C],
                     np.asarray(pos1)[:C])
         return np.asarray(res)[:C], None, None
+
+    def extend(self, enc: EncodedBatch, loc, plane, row):
+        return self.fetch(*self.extend_async(enc, loc, plane, row))
 
 
 class SingleEndAligner:
@@ -94,11 +117,39 @@ class SingleEndAligner:
         self.native = (NativeBatch(params, index, ref)
                        if use_native else None)
 
-    def align_batch(self, reads) -> str:
+    # -- two-phase API for the overlapped pipeline -----------------------
+    def submit_batch(self, reads):
+        """Host encode + candidate build + async device dispatch."""
         enc = encode_batch(self.p, reads)
         self.total_reads += len(reads)
-        if self.native is not None:
-            return self._align_batch_native(enc)
+        if self.native is None:
+            return ("py", enc)
+        ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
+        cand = self.native.build_candidates(enc, ridx)
+        cand_loc, cand_plane, cand_row = cand[0], cand[1], cand[2]
+        self.total_candidates += cand_loc.size
+        if cand_loc.size:
+            handle = self.dev.extend_async(
+                enc, cand_loc, cand_plane.astype(np.int32), cand_row)
+        else:
+            handle = None
+        return ("native", enc, cand, handle)
+
+    def finish_batch(self, state) -> str:
+        if state[0] == "py":
+            return self._align_batch_python(state[1])
+        _, enc, cand, handle = state
+        cand_loc, cand_plane, cand_row, groups, goff = cand
+        if handle is not None:
+            counts, pos0, pos1 = self.dev.fetch(*handle)
+        else:
+            counts, pos0, pos1 = np.zeros(0, np.int32), None, None
+        return self._emit_native(enc, cand, counts, pos0, pos1)
+
+    def align_batch(self, reads) -> str:
+        return self.finish_batch(self.submit_batch(reads))
+
+    def _align_batch_python(self, enc) -> str:
         table = build_candidates(self.p, self.index, enc, self.sched)
         self.total_candidates += table.loc.size
         if table.loc.size:
@@ -113,17 +164,9 @@ class SingleEndAligner:
             self.emitter.emit_read(read, res, int(L), out)
         return "".join(out)
 
-    def _align_batch_native(self, enc) -> str:
+    def _emit_native(self, enc, cand, counts, pos0, pos1) -> str:
         from .replay import ReadResult
-        ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
-        (cand_loc, cand_plane, cand_row, groups, goff) = \
-            self.native.build_candidates(enc, ridx)
-        self.total_candidates += cand_loc.size
-        if cand_loc.size:
-            counts, pos0, pos1 = self.dev.extend(
-                enc, cand_loc, cand_plane.astype(np.int32), cand_row)
-        else:
-            counts, pos0, pos1 = np.zeros(0, np.int32), None, None
+        cand_loc, cand_plane, cand_row, groups, goff = cand
         (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = \
             self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
                                   counts, pos0, pos1)
@@ -157,13 +200,20 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     if params.sam_header:
         out_fh.write(sam_header(ref, params, command_line))
     reader = open_reads(reads_path, params, readset=0)
+    # two-deep pipeline: host-encode/dispatch batch k+1 while batch k's
+    # device results stream back (JAX async dispatch covers the device+RPC
+    # latency; the replay only blocks when it fetches)
+    pending = None
     while True:
         reads = reader.next_batch()
-        if not reads:
+        state = aligner.submit_batch(reads) if reads else None
+        if pending is not None:
+            out_fh.write(aligner.finish_batch(pending))
+            log(f"{reader.index - params.read_start + 1} reads finished. "
+                f"{time.time()-t0:.0f} secs passed")
+        pending = state
+        if state is None:
             break
-        out_fh.write(aligner.align_batch(reads))
-        log(f"{reader.index - params.read_start + 1} reads finished. "
-            f"{time.time()-t0:.0f} secs passed")
     reader.close()
     e = aligner.emitter
     n_total = max(reader.index - params.read_start + 1, 1)
