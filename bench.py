@@ -25,7 +25,7 @@ sys.path.insert(0, str(ROOT))
 N_READS = int(os.environ.get("BENCH_READS", 100_000))
 GENOME = int(os.environ.get("BENCH_GENOME", 2_000_000))
 READLEN = 100
-BATCH = 25_000
+BATCH = 50_000
 SEED = 20260816
 
 
