@@ -43,8 +43,47 @@ def get_lib():
     lib = ctypes.CDLL(str(_SO))
     lib.bt_build_candidates.restype = ctypes.c_int64
     lib.bt_replay_se.restype = ctypes.c_int64
+    lib.bt_encode_batch.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def native_encode(params, chars, map_len, W, n_threads=0):
+    """C++ twin of the plane-packing + seed-array half of encode_batch.
+    Returns (base, valid, mread, lenmask [2B, W] u32, seedval, has_n
+    [B, 2, S])."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, lmax = chars.shape
+    S = lmax - params.seed_size + 1
+    if S <= 0:
+        return None
+    rule = params.rule
+    base = np.empty((2 * B, W), np.uint32)
+    valid = np.empty((2 * B, W), np.uint32)
+    mread = np.empty((2 * B, W), np.uint32)
+    lenmask = np.empty((2 * B, W), np.uint32)
+    seedval = np.empty((B, 2, S), np.uint32)
+    has_n = np.empty((B, 2, S), np.uint8)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    from ..config import REG_ALPHABET
+    lib.bt_encode_batch(
+        ctypes.c_int32(B), ctypes.c_int32(lmax), ctypes.c_int32(W),
+        ctypes.c_int32(params.seed_size),
+        ctypes.c_int32(1 if params.nt3 else 0),
+        _p(np.ascontiguousarray(chars), ctypes.c_uint8),
+        _p(np.ascontiguousarray(map_len, ), ctypes.c_int32),
+        _p(rule.alphabet, ctypes.c_uint8), _p(rule.rev_alphabet, ctypes.c_uint8),
+        _p(rule.alphabet_mread, ctypes.c_uint8),
+        _p(rule.rev_alphabet_mread, ctypes.c_uint8),
+        _p(REG_ALPHABET, ctypes.c_uint8),
+        _p(base, ctypes.c_uint32), _p(valid, ctypes.c_uint32),
+        _p(mread, ctypes.c_uint32), _p(lenmask, ctypes.c_uint32),
+        _p(seedval, ctypes.c_uint32), _p(has_n, ctypes.c_uint8),
+        ctypes.c_int32(n_threads))
+    return base, valid, mread, lenmask, seedval, has_n
 
 
 def _p(a, t):

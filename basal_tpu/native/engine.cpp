@@ -17,6 +17,7 @@
 #include <vector>
 #include <algorithm>
 #include <unordered_set>
+#include <thread>
 
 using u8 = uint8_t;
 using i8 = int8_t;
@@ -350,6 +351,111 @@ i64 bt_replay_se(
         }
     }
     hit_offsets[B] = hw;
+    return 0;
+}
+
+// Batch read encoder: chars -> device planes + per-offset seed arrays.
+// Twin of basal_tpu.reads.encode.encode_batch's packing half
+// (ref: ConvertBina[r]ySeq, align.cpp:79-226) in one multithreaded pass.
+//  chars:   u8 [B, lmax] read characters, 'N' beyond each read's length
+//  planes:  u32 [2B, W] base/valid/mread/lenmask (row = 2*read + chain)
+//  seedval: u32 [B, 2, S]  (S = lmax - seed_size + 1), has_n: u8 same shape
+i64 bt_encode_batch(
+    i32 B, i32 lmax, i32 W, i32 seed_size, i32 nt3,
+    const u8* chars,            // [B, lmax]
+    const i32* map_len,         // [B]
+    const u8* alphabet, const u8* rev_alphabet,
+    const u8* mread_fwd, const u8* mread_rev, const u8* reg,
+    u32* base, u32* valid, u32* mread, u32* lenmask,  // [2B, W]
+    u32* seedval, u8* has_n,    // [B, 2, S]
+    i32 n_threads)
+{
+    const i32 S = lmax - seed_size + 1;
+    auto work = [&](i32 r0, i32 r1) {
+        std::vector<u8> code(lmax), vld(lmax), mrd(lmax);
+        for (i32 r = r0; r < r1; ++r) {
+            const u8* ch = chars + (i64)r * lmax;
+            i32 L = map_len[r];
+            for (int chain = 0; chain < 2; ++chain) {
+                // chain 0: as-is through alphabet; chain 1: reversed read
+                // through rev_alphabet (align.cpp:193-199)
+                if (chain == 0) {
+                    for (i32 i = 0; i < lmax; ++i) {
+                        u8 c = ch[i];
+                        code[i] = alphabet[c];
+                        vld[i] = reg[c];
+                        mrd[i] = mread_fwd[c];
+                    }
+                } else {
+                    for (i32 i = 0; i < L; ++i) {
+                        u8 c = ch[L - 1 - i];
+                        code[i] = rev_alphabet[c];
+                        vld[i] = reg[c];
+                        mrd[i] = mread_rev[c];
+                    }
+                    for (i32 i = L; i < lmax; ++i) {
+                        code[i] = rev_alphabet['N'];
+                        vld[i] = reg['N'];
+                        mrd[i] = mread_rev['N'];
+                    }
+                }
+                i64 row = (i64)r * 2 + chain;
+                u32* bp = base + row * W;
+                u32* vp = valid + row * W;
+                u32* mp = mread + row * W;
+                u32* lp = lenmask + row * W;
+                for (i32 w = 0; w < W; ++w) {
+                    u32 bw = 0, vw = 0, mw = 0, lw = 0;
+                    i32 p0 = w * 16;
+                    for (i32 j = 0; j < 16; ++j) {
+                        i32 p = p0 + j;
+                        u8 c = p < lmax ? code[p] : 0;
+                        u8 v = p < lmax ? vld[p] : 0;
+                        u8 m = p < lmax ? mrd[p] : 0;
+                        bw = (bw << 2) | c;
+                        vw = (vw << 2) | v;
+                        mw = (mw << 2) | m;
+                        lw = (lw << 2) | (p < L ? 3u : 0u);
+                    }
+                    if (nt3) bw -= (bw << 1) & bw & 0xAAAAAAAAu;  // XT32
+                    bp[w] = bw; vp[w] = vw; mp[w] = mw; lp[w] = lw;
+                }
+                // rolling base-3 seed values + N flags (align.cpp:162-175)
+                u32* sv = seedval + ((i64)r * 2 + chain) * S;
+                u8* hn = has_n + ((i64)r * 2 + chain) * S;
+                u32 val = 0, pow_top = 1, nbad = 0;
+                for (i32 j = 0; j < seed_size - 1; ++j) pow_top *= 3;
+                for (i32 j = 0; j < seed_size && j < lmax; ++j) {
+                    u8 c = code[j];
+                    val = val * 3 + (c == 3 ? 1 : c);
+                    nbad += (vld[j] == 0);
+                }
+                for (i32 i = 0; i < S; ++i) {
+                    sv[i] = val;
+                    hn[i] = nbad > 0;
+                    if (i + 1 < S) {
+                        u8 cold = code[i];
+                        u8 cnew = code[i + seed_size];
+                        val = (val - (u32)(cold == 3 ? 1 : cold) * pow_top) * 3
+                              + (cnew == 3 ? 1 : cnew);
+                        nbad -= (vld[i] == 0);
+                        nbad += (vld[i + seed_size] == 0);
+                    }
+                }
+            }
+        }
+    };
+    if (n_threads <= 1 || B < 256) {
+        work(0, B);
+    } else {
+        std::vector<std::thread> ts;
+        i32 per = (B + n_threads - 1) / n_threads;
+        for (i32 t = 0; t < n_threads; ++t) {
+            i32 a = t * per, b = std::min(B, a + per);
+            if (a < b) ts.emplace_back(work, a, b);
+        }
+        for (auto& t : ts) t.join();
+    }
     return 0;
 }
 

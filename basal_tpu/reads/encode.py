@@ -15,6 +15,7 @@ Encoding is vectorized numpy over the whole batch; planes are u32 words of
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List
 
 import numpy as np
@@ -146,6 +147,15 @@ def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
     lmax = chars.shape[1]
     W = max(4, -(-(lmax) // 16))  # words covering lmax
 
+    from ..native import native_encode
+    nat = (native_encode(p, chars, map_len, W)
+           if not os.environ.get("BASAL_TPU_NO_NATIVE") else None)
+    if nat is not None:
+        base, valid, mread, lenmask, seedval, has_n = nat
+        return _finish_batch(p, reads, filtered, raw_len, budget, n_count,
+                             map_len, W, base, valid, mread, lenmask,
+                             seedval, has_n)
+
     # chain 0: as-is; chain 1: reversed chars through rev_* LUTs.  The
     # reference right-aligns nothing — the reversed read also starts at
     # position 0 (align.cpp:193-199): reverse each row by its own length,
@@ -177,6 +187,14 @@ def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
 
     seedval, has_n = seeds_from_codes(
         codes, validc != 0, p.seed_size)
+    return _finish_batch(p, reads, filtered, raw_len, budget, n_count,
+                         map_len, W, base, valid, mread, lenmask,
+                         seedval, has_n)
+
+
+def _finish_batch(p, reads, filtered, raw_len, budget, n_count, map_len, W,
+                  base, valid, mread, lenmask, seedval, has_n):
+    B = len(reads)
     n_off = np.maximum(map_len - p.seed_size + 1, 0).astype(np.int32)
 
     # enabled chains (PBAT support, align.cpp:156-158)
