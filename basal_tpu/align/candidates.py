@@ -51,6 +51,8 @@ class CandidateTable:
     groups: List[List[CandGroup]]   # per read, in replay order
     # per-read scheduling results (needed by replay for h of gapped hits)
     n_groups: int
+    skip: Optional[np.ndarray] = None  # bool [C] RRBS: entry mode/plane
+                                       # mismatch or loc underflow
 
 
 class SeedScheduler:
@@ -109,6 +111,18 @@ class SeedScheduler:
             seedval = enc.seedval[r, chain]
             has_n = enc.seed_has_n[r, chain]
             n_off = int(enc.n_offsets[r])
+            if p.rrbs_flag:
+                # RRBS: start fixed at cseed_offset*chain, no Adjust pass
+                # (ReorderSeed RRBS branch, align.cpp:473,486-487)
+                cso = (L % s) * chain
+                start_arr = [cso] * segnum
+                keys = []
+                for seg in range(segnum):
+                    c = self.count_seeds(seedval, has_n, n_off, seg, cso)
+                    keys.append((int(np.int32(np.uint32(c))), seg))
+                keys.sort()
+                out.append((start_arr, [seg for _, seg in keys]))
+                continue
             max_offset = (L - I + 1) % s
 
             # ReorderSeed: pick global start minimizing total (align.cpp:475-480)
@@ -213,4 +227,73 @@ def build_candidates(params: AlignParams, index: SeedIndex,
         plane=np.concatenate(plane_parts),
         row=np.concatenate(row_parts),
         groups=groups, n_groups=sum(len(g) for g in groups),
+    )
+
+
+def build_candidates_rrbs(params: AlignParams, rindex, ref,
+                          enc: EncodedBatch, sched: SeedScheduler) -> CandidateTable:
+    """RRBS candidate expansion (SnpAlign RRBS branch, align.cpp:233-273):
+    one probe per segment; the per-seed entry list spans all fragment modes
+    and both orientation flags — non-matching entries become skip-masked
+    candidates so the random-start rotation indexes stay aligned."""
+    p = params
+    anchors = ref.ref_anchor
+    loc_parts, plane_parts, row_parts, skip_parts = [], [], [], []
+    groups: List[List[CandGroup]] = []
+    flat = 0
+    profile = sched.profile
+    B = len(enc.reads)
+    for r in range(B):
+        glist: List[CandGroup] = []
+        groups.append(glist)
+        if enc.filtered[r] or enc.seedseg_num[r] <= 0:
+            continue
+        per_chain = sched.schedule_read(enc, r)
+        rv = sched.rng(enc.reads[r].index)
+        L = int(enc.map_len[r])
+        cso = L % p.seed_size
+        for chain in range(2):
+            if per_chain[chain] is None:
+                continue
+            _, order = per_chain[chain]
+            seedval = enc.seedval[r, chain]
+            for mode, seg in enumerate(order):
+                cmode = seg if chain == 0 else L // p.seed_size - 1 - seg
+                off = int(profile[seg][0]) + cso * chain
+                s = int(seedval[off])
+                lo, m = int(rindex.starts[s]), int(rindex.n1[s])
+                if m == 0:
+                    continue
+                cm = rindex.chrmode[lo:lo + m].astype(np.int64)
+                locs = rindex.locs[lo:lo + m].astype(np.int64)
+                h = off
+                # entry matches when (chrmode ^ chain<<24) >> 16 == cmode
+                # (align.cpp:248) and loc >= h (align.cpp:250)
+                match = ((cm ^ (chain << 24)) >> 16) == cmode
+                ok = match & (locs >= h)
+                chrplane = (cm & 0xFFFF).astype(np.int64)
+                pair = chrplane >> 1
+                cand_loc = np.where(ok, anchors[pair] + locs - h,
+                                    12800).astype(np.int32)
+                jj0 = (rv if p.randseed != 0
+                       else sched.rng(enc.reads[r].index)) % m
+                glist.append(CandGroup(
+                    read=r, chain=chain, mode=mode, seg=seg, h=h,
+                    start=flat, m=m, mc=m, jj0=int(jj0)))
+                loc_parts.append(cand_loc)
+                plane_parts.append((chrplane & 1).astype(np.int32))
+                row_parts.append(np.full(m, 2 * r + chain, dtype=np.int32))
+                skip_parts.append(~ok)
+                flat += m
+    if flat == 0:
+        z = np.zeros(0, dtype=np.int32)
+        return CandidateTable(loc=z, plane=z.copy(), row=z.copy(),
+                              groups=groups, n_groups=0,
+                              skip=np.zeros(0, bool))
+    return CandidateTable(
+        loc=np.concatenate(loc_parts),
+        plane=np.concatenate(plane_parts),
+        row=np.concatenate(row_parts),
+        groups=groups, n_groups=sum(len(g) for g in groups),
+        skip=np.concatenate(skip_parts),
     )

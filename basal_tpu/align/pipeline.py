@@ -100,7 +100,7 @@ class DeviceContext:
 
 class SingleEndAligner:
     def __init__(self, params: AlignParams, ref: PackedReference,
-                 index: SeedIndex, use_native: Optional[bool] = None):
+                 index, use_native: Optional[bool] = None):
         self.p = params
         self.ref = ref
         self.index = index
@@ -108,12 +108,17 @@ class SingleEndAligner:
         self.sched = SeedScheduler(params, index, self.rng)
         self.dev = DeviceContext(ref, params)
         self.replayer = Replayer(params, ref, self.rng)
-        self.emitter = SamEmitter(params, ref, self.rng)
+        rrbs_fn = None
+        if params.rrbs_flag:
+            from ..index.rrbs import ccgg_seglen
+            rrbs_fn = (lambda c, l, L: ccgg_seglen(index, c, l, L))
+        self.emitter = SamEmitter(params, ref, self.rng, rrbs_seglen=rrbs_fn)
         self.total_reads = 0
         self.total_candidates = 0
         from ..native import NativeBatch, native_available
         if use_native is None:
-            use_native = native_available() and params.randseed != 0
+            use_native = (native_available() and params.randseed != 0
+                          and not params.rrbs_flag)
         self.native = (NativeBatch(params, index, ref)
                        if use_native else None)
 
@@ -150,7 +155,12 @@ class SingleEndAligner:
         return self.finish_batch(self.submit_batch(reads))
 
     def _align_batch_python(self, enc) -> str:
-        table = build_candidates(self.p, self.index, enc, self.sched)
+        if self.p.rrbs_flag:
+            from .candidates import build_candidates_rrbs
+            table = build_candidates_rrbs(self.p, self.index, self.ref, enc,
+                                          self.sched)
+        else:
+            table = build_candidates(self.p, self.index, enc, self.sched)
         self.total_candidates += table.loc.size
         if table.loc.size:
             counts, pos0, pos1 = self.dev.extend(
@@ -192,7 +202,11 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp. "
         f"{time.time()-t0:.0f} secs passed")
-    index = build_index(ref, params)
+    if params.rrbs_flag:
+        from ..index.rrbs import build_rrbs_index
+        index = build_rrbs_index(ref_path, ref, params)
+    else:
+        index = build_index(ref, params)
     log(f"create seed table. {time.time()-t0:.0f} secs passed")
 
     aligner = SingleEndAligner(params, ref, index)

@@ -159,6 +159,8 @@ class ReadScan:
             return
         gap = self.p.gap
         counts = self.counts
+        skip = self.table.skip       # RRBS entry mask (align.cpp:248-250)
+        planes = self.table.plane
         for g in self.groups:
             if g.mode != mode:
                 continue
@@ -166,7 +168,15 @@ class ReadScan:
             jj = g.jj0
             for _ in range(m):
                 ci = g.start + jj
-                plane = 1 if jj > g.mc else 0
+                if skip is not None:
+                    if skip[ci]:
+                        jj += 1
+                        if jj >= m:
+                            jj -= m
+                        continue
+                    plane = int(planes[ci])
+                else:
+                    plane = 1 if jj > g.mc else 0
                 cnt = int(counts[ci])
                 if cnt <= self.snp_thres:
                     hit = self._int2hit(int(self.chrpair[ci]),

@@ -68,10 +68,12 @@ def _xr_context(ref: PackedReference, params: AlignParams, chr_: int, loc: int,
 class SamEmitter:
     """Single-end record formatting + run counters (n_aligned etc.)."""
 
-    def __init__(self, params: AlignParams, ref: PackedReference, rng: MyRand):
+    def __init__(self, params: AlignParams, ref: PackedReference, rng: MyRand,
+                 rrbs_seglen=None):
         self.p = params
         self.ref = ref
         self.rng = rng
+        self.rrbs_seglen = rrbs_seglen   # (chr, loc, readlen) -> (ZP, ZL)
         self.n_aligned = 0
         self.n_unique = 0
         self.n_multiple = 0
@@ -107,6 +109,9 @@ class SamEmitter:
                f"{seq}\t{qual}\tNM:i:{nsnps}")
         if p.out_ref:
             rec += f"\tXR:Z:{_xr_context(self.ref, p, chr_, loc, L)}"
+        if self.rrbs_seglen is not None:
+            zp, zl = self.rrbs_seglen(chr_, loc, L)
+            rec += f"\tZP:i:{zp}\tZL:i:{zl}"
         rec += f"\tZS:Z:{CHAIN_FLAG[chr_ % 2]}{CHAIN_FLAG[chain]}\n"
         out.append(rec)
 
