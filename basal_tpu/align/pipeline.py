@@ -71,17 +71,24 @@ class DeviceContext:
         def padr1(a):
             return np.pad(a, (0, rpad)) if rpad else a
 
+        # planes unused by the current mode become 1-row dummies (gathers of
+        # them are dead code the compiler removes; saves tunnel bandwidth)
+        need_mread = self.mode == "multiway"
+        need_len = p.gap > 0
+        dummy = np.zeros((1, enc.W), np.uint32)
+        dummy1 = np.zeros(1, np.int32)
         args = dict(
             ref32=self.ref32_dev,
             loc=jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
-            plane=jnp.asarray(padc(plane), dtype=jnp.int32),
+            plane=jnp.asarray(padc(plane).astype(np.uint8)),
             row=jnp.asarray(padc(row), dtype=jnp.int32),
             base=jnp.asarray(padr(enc.base)), valid=jnp.asarray(padr(enc.valid)),
-            mread=jnp.asarray(padr(enc.mread)),
-            lenmask=jnp.asarray(padr(enc.lenmask)),
+            mread=jnp.asarray(padr(enc.mread) if need_mread else dummy),
+            lenmask=jnp.asarray(padr(enc.lenmask) if need_len else dummy),
             ncnt=jnp.asarray(padr1(np.repeat(enc.n_count, 2)), dtype=jnp.int32),
-            readlen=jnp.asarray(padr1(np.repeat(enc.map_len, 2)),
-                                dtype=jnp.int32),
+            readlen=jnp.asarray(
+                padr1(np.repeat(enc.map_len, 2)).astype(np.int32)
+                if need_len else dummy1),
         )
         res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
                             nw=self.nw)
@@ -90,9 +97,10 @@ class DeviceContext:
     def fetch(self, C, res):
         if self.params.gap > 0:
             counts, pos0, pos1 = res
-            return (np.asarray(counts)[:C], np.asarray(pos0)[:C],
-                    np.asarray(pos1)[:C])
-        return np.asarray(res)[:C], None, None
+            return (np.asarray(counts)[:C].astype(np.int32),
+                    np.asarray(pos0)[:C].astype(np.int32),
+                    np.asarray(pos1)[:C].astype(np.int32))
+        return np.asarray(res)[:C].astype(np.int32), None, None
 
     def extend(self, enc: EncodedBatch, loc, plane, row):
         return self.fetch(*self.extend_async(enc, loc, plane, row))

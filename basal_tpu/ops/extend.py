@@ -96,7 +96,7 @@ def extend_kernel(ref32, loc, plane, row, base, valid, mread, lenmask,
     wg = (W + 3) if gap > 0 else (W + 1)
     k0 = (loc >> 4) - (1 if gap > 0 else 0)
     sh2 = ((loc & 15) << 1).astype(jnp.int32)
-    gidx = plane * jnp.int32(nw) + k0
+    gidx = plane.astype(jnp.int32) * jnp.int32(nw) + k0
     idx = gidx[:, None] + jnp.arange(wg, dtype=jnp.int32)[None, :]
     R = jnp.take(ref32, idx)  # [C, wg]
 
@@ -108,9 +108,12 @@ def extend_kernel(ref32, loc, plane, row, base, valid, mread, lenmask,
     mr = jnp.take(mread, row, axis=0) if mode == "multiway" else None
     flags = _rule_flags(mode, b, A, mr)
     counts = jnp.take(ncnt, row) + jnp.sum(xm32(flags & v), axis=1)
+    # u8 return: the replay only distinguishes counts <= MAXSNPS (15); this
+    # quarters the device->host transfer (the tunnel is the bottleneck)
+    counts8 = jnp.minimum(counts, 255).astype(jnp.uint8)
 
     if gap == 0:
-        return counts
+        return counts8
 
     lm = jnp.take(lenmask, row, axis=0)
     L = jnp.take(readlen, row)
@@ -127,4 +130,5 @@ def extend_kernel(ref32, loc, plane, row, base, valid, mread, lenmask,
         A_s = _align_words(R, off_s, sh2_s, W)
         flags_s = _rule_flags(mode, b, A_s, mr)
         pos1.append(_first_positions(flags_s & lm, L, W, reverse=True))
-    return counts, pos0, jnp.stack(pos1, axis=1)
+    return (counts8, pos0.astype(jnp.int16),
+            jnp.stack(pos1, axis=1).astype(jnp.int16))

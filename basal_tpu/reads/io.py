@@ -199,10 +199,71 @@ class BamReader:
         self.fh.close()
 
 
+class SamReader:
+    """SAM-text read input (reads.cpp SAM branch via samread); R1/R2
+    de-interleaved by flag 0x40/0x80 for paired input."""
+
+    def __init__(self, path: str, params: AlignParams, readset: int = 0):
+        self.params = params
+        self.readset = readset
+        self.fh = _open(path)
+        self.index = params.read_start - 1
+        skip = (params.read_start - 1) * (2 if params.pairend else 1)
+        n = 0
+        while n < skip:
+            if self._read_record() is None:
+                break
+            n += 1
+
+    def _read_record(self):
+        while True:
+            line = self.fh.readline()
+            if not line:
+                return None
+            if line.startswith(b"@"):
+                continue
+            col = line.rstrip(b"\n").split(b"\t")
+            if len(col) < 11:
+                continue
+            return (int(col[1]), col[0].decode(), col[9].decode(),
+                    col[10].decode())
+
+    def next_batch(self, batch_size: Optional[int] = None) -> List[ReadRec]:
+        p = self.params
+        n = batch_size or p.batch_reads
+        out: List[ReadRec] = []
+        pe = self.readset != 0
+        while len(out) < n and self.index < p.read_end:
+            if self.readset == 2:
+                if self._read_record() is None:
+                    break
+            rec = self._read_record()
+            if rec is None:
+                break
+            flag, name, seq, qual = rec
+            if pe:
+                rs = 1 if (flag & 0x40) else (2 if (flag & 0x80) else self.readset)
+            else:
+                rs = 0
+            if len(seq) > p.max_readlen:
+                seq = seq[:p.max_readlen]
+                qual = qual[:p.max_readlen]
+            out.append(ReadRec(index=self.index, readset=rs,
+                               name=name, seq=seq, qual=qual))
+            self.index += 1
+            if self.readset == 1:
+                if self._read_record() is None:
+                    break
+        return out
+
+    def close(self):
+        self.fh.close()
+
+
 def open_reads(path: str, params: AlignParams, readset: int = 0):
     fmt = sniff_format(path)
     if fmt in ("fasta", "fastq"):
         return FastxReader(path, params, readset, fmt)
     if fmt == "bam":
         return BamReader(path, params, readset)
-    raise NotImplementedError(f"SAM read input not yet supported: {path}")
+    return SamReader(path, params, readset)
