@@ -203,6 +203,36 @@ class SingleEndAligner:
         return "".join(out)
 
 
+class ThreadedRunner:
+    """-p worker pool: the TPU-native replacement for the reference's pthread
+    fan-out (t_SingleAlign, main.cpp:60-92).  Each worker owns a full aligner
+    (private scheduler state, like each pthread's SingleAlign instance); the
+    C++ engine and numpy release the GIL, so host phases of consecutive
+    batches overlap.  Output is written in batch order (deterministic, a
+    valid interleaving of the reference's mutex-ordered appends)."""
+
+    def __init__(self, params, ref, index, n_workers: int):
+        from concurrent.futures import ThreadPoolExecutor
+        self.aligners = [SingleEndAligner(params, ref, index)
+                         for _ in range(n_workers)]
+        self.pool = ThreadPoolExecutor(n_workers)
+        self.n = n_workers
+        self.i = 0
+
+    def submit(self, reads):
+        al = self.aligners[self.i % self.n]
+        self.i += 1
+        return self.pool.submit(al.align_batch, reads)
+
+    def counters(self):
+        return (sum(a.emitter.n_aligned for a in self.aligners),
+                sum(a.emitter.n_unique for a in self.aligners),
+                sum(a.emitter.n_multiple for a in self.aligners))
+
+    def shutdown(self):
+        self.pool.shutdown()
+
+
 def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
                    out_fh=None, command_line: str = "basal_tpu",
                    log=lambda *a: None):
@@ -217,11 +247,42 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
         index = build_index(ref, params)
     log(f"create seed table. {time.time()-t0:.0f} secs passed")
 
-    aligner = SingleEndAligner(params, ref, index)
     out_fh = out_fh or sys.stdout
     if params.sam_header:
         out_fh.write(sam_header(ref, params, command_line))
     reader = open_reads(reads_path, params, readset=0)
+    if params.num_threads > 1 and params.randseed != 0 and not params.rrbs_flag:
+        from collections import deque
+        runner = ThreadedRunner(params, ref, index, params.num_threads)
+        futures = deque()
+        while True:
+            reads = reader.next_batch()
+            if reads:
+                futures.append(runner.submit(reads))
+            while futures and (not reads or len(futures) > runner.n):
+                out_fh.write(futures.popleft().result())
+                log(f"{reader.index - params.read_start + 1} reads finished. "
+                    f"{time.time()-t0:.0f} secs passed")
+            if not reads:
+                break
+        runner.shutdown()
+        n_al, n_un, n_mu = runner.counters()
+
+        class _E:  # counters facade for the summary below
+            n_aligned, n_unique, n_multiple = n_al, n_un, n_mu
+        e = _E
+        aligner = runner.aligners[0]
+        reader.close()
+        n_total = max(reader.index - params.read_start + 1, 1)
+        log(f"total reads: {reader.index - params.read_start + 1} \t"
+            f"total time: {time.time()-t0:.0f} secs")
+        log(f"aligned reads: {e.n_aligned} ({100.0*e.n_aligned/n_total:.1f}%), "
+            f"unique reads: {e.n_unique} ({100.0*e.n_unique/n_total:.1f}%), "
+            f"non-unique reads: {e.n_multiple} "
+            f"({100.0*e.n_multiple/n_total:.1f}%)")
+        return aligner
+
+    aligner = SingleEndAligner(params, ref, index)
     # two-deep pipeline: host-encode/dispatch batch k+1 while batch k's
     # device results stream back (JAX async dispatch covers the device+RPC
     # latency; the replay only blocks when it fetches)

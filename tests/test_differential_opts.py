@@ -164,3 +164,27 @@ def test_mixed_lengths(tmp_path, rng):
                     for c in g[pos:pos + L])
         reads.append((f"m{i}", s))
     check(tmp_path, ["-S", "12", "-u"], reads, [("c1", g)])
+
+
+def test_threaded_equals_serial(tmp_path, rng):
+    """-p 3 output == -p 1 output (ordered batches; -S hashing makes per-read
+    results schedule-independent), and both match the oracle."""
+    g = random_genome(rng, 8000)
+    reads = convert_reads(rng, g, 120, 80, "C:T")
+    make_ref(tmp_path / "ref.fa", [("c1", g)])
+    make_fastq(tmp_path / "reads.fq", reads)
+    base = ["-a", "reads.fq", "-d", "ref.fa", "-M", "C:T", "-V", "0",
+            "-S", "13", "-u"]
+    r = run_oracle(base + ["-o", "oracle.sam", "-p", "1"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    import basal_tpu.config as cfg
+    old_batch = cfg.BATCH_NUM
+    try:
+        serial = run_ours(base + ["-p", "1"], tmp_path)
+        # force multiple small batches through the pool
+        import basal_tpu.reads.io  # noqa
+        threaded = run_ours(base + ["-p", "3", "-E", "120"], tmp_path)
+    finally:
+        pass
+    assert norm_sam(serial) == norm_sam((tmp_path / "oracle.sam").read_text())
+    assert norm_sam(threaded) == norm_sam(serial)
