@@ -43,6 +43,7 @@ def get_lib():
     lib = ctypes.CDLL(str(_SO))
     lib.bt_build_candidates.restype = ctypes.c_int64
     lib.bt_replay_se.restype = ctypes.c_int64
+    lib.bt_replay_pe.restype = ctypes.c_int64
     lib.bt_encode_batch.restype = ctypes.c_int64
     _lib = lib
     return lib
@@ -201,3 +202,87 @@ class NativeBatch:
             hit_cap *= 4
         return (out_stratum, out_n0, out_n1,
                 hit_chr, hit_loc, hit_gsz, hit_gpos, hit_chain, hoff)
+
+
+def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
+    """C++ PE lockstep replay (bt_replay_pe).  Returns
+    (paired, pair_cnt, pair_data, pair_offsets,
+     (stat, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) x 2)."""
+    lib = get_lib()
+    p = params
+    B = len(enc_a.reads)
+    anchors = ref.ref_anchor[:ref.total_num].astype(np.int64)
+    rc_off = np.array([t.rc_offset for t in ref.titles], np.int64)
+    sizes = np.array([t.size for t in ref.titles], np.int64)
+
+    def prep(enc, cand, res):
+        counts, pos0, pos1 = res
+        return dict(
+            groups=np.ascontiguousarray(cand[3], np.int64),
+            goff=np.ascontiguousarray(cand[4], np.int64),
+            counts=np.ascontiguousarray(counts, np.int32),
+            pos0=(np.ascontiguousarray(pos0, np.int32)
+                  if pos0 is not None else None),
+            pos1=(np.ascontiguousarray(pos1, np.int32)
+                  if pos1 is not None else None),
+            loc=np.ascontiguousarray(cand[0], np.int32),
+            map_len=enc.map_len, rms=enc.read_max_snp,
+            seedseg=enc.seedseg_num,
+            filt=np.ascontiguousarray(enc.filtered, np.uint8))
+
+    A = prep(enc_a, cand_a, res_a)
+    Bd = prep(enc_b, cand_b, res_b)
+
+    pair_cap = max(B * 4, 4096)
+    hit_cap = max(B * 8, 4096)
+    while True:
+        out_paired = np.empty(B, np.int32)
+        out_pair_cnt = np.empty(B, np.int32)
+        pair_data = np.empty((pair_cap, 12), np.int32)
+        pair_offsets = np.empty(B + 1, np.int64)
+        ends = []
+        for _ in range(2):
+            ends.append(dict(
+                stat=np.empty(B, np.int32), n0=np.empty(B, np.int32),
+                n1=np.empty(B, np.int32),
+                hchr=np.empty(hit_cap, np.int32),
+                hloc=np.empty(hit_cap, np.int32),
+                hgsz=np.empty(hit_cap, np.int32),
+                hgpos=np.empty(hit_cap, np.int32),
+                hchain=np.empty(hit_cap, np.uint8),
+                hoff=np.empty(B + 1, np.int64)))
+        args = [ctypes.c_int32(B)]
+        for D in (A, Bd):
+            args += [_p(D["groups"], ctypes.c_int64),
+                     _p(D["goff"], ctypes.c_int64),
+                     _p(D["counts"], ctypes.c_int32),
+                     _p(D["pos0"], ctypes.c_int32),
+                     _p(D["pos1"], ctypes.c_int32),
+                     _p(D["loc"], ctypes.c_int32),
+                     _p(D["map_len"], ctypes.c_int32),
+                     _p(D["rms"], ctypes.c_int32),
+                     _p(D["seedseg"], ctypes.c_int32),
+                     _p(D["filt"], ctypes.c_uint8)]
+        args += [_p(anchors, ctypes.c_int64), ctypes.c_int32(len(anchors)),
+                 _p(rc_off, ctypes.c_int64), _p(sizes, ctypes.c_int64),
+                 ctypes.c_int32(p.seed_size), ctypes.c_int32(p.gap),
+                 ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
+                 ctypes.c_int32(1 if p.nt3 else 0),
+                 ctypes.c_int64(p.min_insert), ctypes.c_int64(p.max_insert),
+                 _p(out_paired, ctypes.c_int32),
+                 _p(out_pair_cnt, ctypes.c_int32),
+                 ctypes.c_int64(pair_cap), _p(pair_data, ctypes.c_int32),
+                 _p(pair_offsets, ctypes.c_int64)]
+        for e in ends:
+            args += [_p(e["stat"], ctypes.c_int32), _p(e["n0"], ctypes.c_int32),
+                     _p(e["n1"], ctypes.c_int32)]
+        args += [ctypes.c_int64(hit_cap)]
+        for e in ends:
+            args += [_p(e["hchr"], ctypes.c_int32), _p(e["hloc"], ctypes.c_int32),
+                     _p(e["hgsz"], ctypes.c_int32), _p(e["hgpos"], ctypes.c_int32),
+                     _p(e["hchain"], ctypes.c_uint8), _p(e["hoff"], ctypes.c_int64)]
+        rc = lib.bt_replay_pe(*args)
+        if rc == 0:
+            return out_paired, out_pair_cnt, pair_data, pair_offsets, ends
+        pair_cap *= 4
+        hit_cap *= 4

@@ -200,6 +200,186 @@ i64 bt_build_candidates(
     return flat;
 }
 
+// ---- scan-state machinery shared by the SE and PE replays ----------------
+// (kept inside extern "C" but with internal linkage via static)
+
+struct RefCtx {
+    const i64 *anchors, *rc_off, *sizes;
+    i32 n_chr;
+    const i32 *counts_dev, *pos0, *pos1;
+    const i32* cand_loc;
+    i32 seed_size, gap, gap_edge, max_num_hits, nt3;
+};
+
+struct H { i32 chr, loc, gsz, gpos; };
+
+struct ScanState {
+    const RefCtx* cx;
+    const Group* groups;
+    i64 g_lo, g_hi;
+    i32 L, rms, snp_thres, segnum;
+    std::vector<H> buckets[2][MAXSNPS + 1];
+    std::unordered_set<u64> seen;
+    bool last_abort = false;
+
+    void init(const RefCtx* c, const Group* gr, i64 lo, i64 hi,
+              i32 L_, i32 rms_, i32 segnum_) {
+        cx = c; groups = gr; g_lo = lo; g_hi = hi;
+        L = L_; rms = rms_; snp_thres = rms_; segnum = segnum_;
+        for (int ch = 0; ch < 2; ++ch)
+            for (int w = 0; w <= MAXSNPS; ++w) buckets[ch][w].clear();
+        seen.clear();
+        last_abort = false;
+    }
+
+    // int2hit (ref: align.cpp:319-346)
+    void resolve(i32 loc_cat, int plane, i32 gsz, i32 gpos, H& out_h) const {
+        i32 lo = 0, hi = cx->n_chr;
+        while (lo < hi - 1) {
+            i32 mid = (lo + hi) / 2;
+            if ((i64)loc_cat >= cx->anchors[mid]) lo = mid; else hi = mid;
+        }
+        i64 local = (i64)loc_cat - cx->anchors[lo];
+        i32 gp = gpos;
+        if (plane) {
+            local = cx->rc_off[lo] - L - local;
+            gp = L + (gsz < 0 ? gsz : 0) - gpos;
+            local -= gsz;
+        }
+        out_h = H{(i32)(2 * lo + plane), (i32)local, gsz, gp};
+    }
+
+    // AddHit (ref: align.cpp:329-347); 1 => abort current SnpAlign call
+    int add_hit(int chain, i32 w, const H& h) {
+        if (h.loc < 0) return 0;
+        if ((u32)h.loc + (u32)L > (u64)cx->sizes[h.chr >> 1]) return 0;
+        u64 key = ((u64)(h.gsz != 0) << 63) | ((u64)(u32)(h.chr >> 1) << 32)
+                  | (u64)(u32)h.loc;
+        if (!seen.insert(key).second) return 0;
+        buckets[chain][w].push_back(h);
+        if ((i32)(buckets[0][w].size() + buckets[1][w].size())
+            >= cx->max_num_hits) {
+            if (w == 0) return 1;
+            snp_thres = w - 1;
+        }
+        return 0;
+    }
+
+    // GapAlign (ref: align.cpp:348-410)
+    int gap_align(i64 ci, int chain, int plane, i64 seed_pos) {
+        if (snp_thres < 2) return 0;
+        const i32* p0 = cx->pos0 + ci * KPOS;
+        i32 ret0 = p0[snp_thres - 2];
+        if (ret0 < (i32)(seed_pos + cx->seed_size)) return 0;
+        const i32 gap2 = 2 * cx->gap;
+        for (i32 tt = 1; tt <= gap2; ++tt) {
+            i32 t = (tt + 1) / 2;
+            i32 shift = (1 - (tt % 2) * 2) * t;
+            i32 shift1 = shift < 0 ? shift : 0;
+            if (snp_thres < 1 + t) break;
+            i32 rl = L - t - 1;
+            const i32* mmi2 = cx->pos1 + (ci * gap2 + (tt - 1)) * KPOS;
+            for (i32 i = 0; i < snp_thres - t; ++i) {
+                i32 gpos = p0[i];
+                if (gpos < cx->gap_edge || gpos >= rl) continue;
+                for (i32 j = 0; j < snp_thres - t - i; ++j) {
+                    i32 m2 = mmi2[j];
+                    if (m2 < cx->gap_edge || m2 >= rl) continue;
+                    if (gpos + m2 - shift1 < L) continue;
+                    i32 gap_snp = i + j + t;
+                    i32 clip = gpos + cx->gap_edge - L - shift1;
+                    if (clip > 0) gpos -= clip;
+                    H h;
+                    resolve(cx->cand_loc[ci], plane, shift, gpos, h);
+                    return add_hit(chain, gap_snp, h);
+                }
+            }
+        }
+        return 0;
+    }
+
+    // SnpAlign(mode) candidate visits (ref: align.cpp:274-316)
+    void step_mode(i32 mode) {
+        last_abort = false;
+        if (mode >= segnum) return;
+        for (i64 gi = g_lo; gi < g_hi; ++gi) {
+            const Group& g = groups[gi];
+            if (g.mode != mode) continue;
+            i64 m = g.m, jj = g.jj0;
+            for (i64 it = 0; it < m; ++it) {
+                i64 ci = g.start + jj;
+                int plane = jj > g.mc ? 1 : 0;
+                i32 cnt = cx->counts_dev[ci];
+                if (cnt <= snp_thres) {
+                    H h;
+                    resolve(cx->cand_loc[ci], plane, 0, 0, h);
+                    if (add_hit((int)g.chain, cnt, h)) { last_abort = true; return; }
+                }
+                if (cx->gap > 0)
+                    if (gap_align(ci, (int)g.chain, plane, g.h)) {
+                        last_abort = true; return;
+                    }
+                if (++jj >= m) jj -= m;
+            }
+        }
+    }
+
+    bool has_hits_le(i32 mode) const {
+        for (i32 ii = 0; ii <= std::min(mode, rms); ++ii)
+            if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) return true;
+        return false;
+    }
+
+    // SortHits4PE (ref: align.cpp:412-416)
+    void sort_bucket(i32 n) {
+        if (n > rms) return;
+        for (int c = 0; c < 2; ++c)
+            std::sort(buckets[c][n].begin(), buckets[c][n].end(),
+                      [](const H& a, const H& b) {
+                          return a.chr < b.chr
+                                 || (a.chr == b.chr && a.loc < b.loc);
+                      });
+    }
+
+    // SingleAlign::RunAlign stratum loop (ref: align.cpp:459-466)
+    void run_all() {
+        for (i32 mode = 0; mode < segnum; ++mode) {
+            step_mode(mode);
+            if (last_abort) break;
+            if (!cx->nt3 && has_hits_le(mode)) break;
+        }
+    }
+
+    i32 best_stratum() const {
+        for (i32 ii = 0; ii <= rms; ++ii)
+            if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) return ii;
+        return rms + 1;
+    }
+};
+
+// write one scan's best-stratum buckets into the flat hit arrays
+static i64 emit_best(const ScanState& sc, i32* out_stratum, i32* out_n0,
+                     i32* out_n1, i64& hw, i64 hit_cap,
+                     i32* hit_chr, i32* hit_loc, i32* hit_gsz, i32* hit_gpos,
+                     u8* hit_chain) {
+    i32 best = sc.best_stratum();
+    *out_stratum = best;
+    *out_n0 = 0; *out_n1 = 0;
+    if (best > sc.rms) return 0;
+    i64 need = (i64)(sc.buckets[0][best].size() + sc.buckets[1][best].size());
+    if (hw + need > hit_cap) return -1;
+    *out_n0 = (i32)sc.buckets[0][best].size();
+    *out_n1 = (i32)sc.buckets[1][best].size();
+    for (int c = 0; c < 2; ++c)
+        for (const H& h : sc.buckets[c][best]) {
+            hit_chr[hw] = h.chr; hit_loc[hw] = h.loc;
+            hit_gsz[hw] = h.gsz; hit_gpos[hw] = h.gpos;
+            hit_chain[hw] = (u8)c;
+            ++hw;
+        }
+    return 0;
+}
+
 // SE scan replay (ref: align.cpp:228-466).  Outputs best-stratum buckets.
 // Returns 0 ok, -1 if hit_cap insufficient (caller enlarges and retries).
 i64 bt_replay_se(
@@ -219,138 +399,189 @@ i64 bt_replay_se(
     i32* hit_chr, i32* hit_loc, i32* hit_gsz, i32* hit_gpos, u8* hit_chain,
     i64* hit_offsets /*[B+1]*/)
 {
-    struct H { i32 chr, loc, gsz, gpos; };
-    std::vector<H> buckets[2][MAXSNPS + 1];
-    std::unordered_set<u64> seen;
+    (void)cand_plane;
+    RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
+              seed_size, gap, gap_edge, max_num_hits, nt3};
+    ScanState sc;
     i64 hw = 0;
-    const i32 gap2 = 2 * gap;
-
     for (i32 r = 0; r < B; ++r) {
         hit_offsets[r] = hw;
         out_stratum[r] = 0; out_n0[r] = 0; out_n1[r] = 0;
         if (filtered[r]) { out_stratum[r] = -1; continue; }
-        i32 L = map_len[r];
-        i32 rms = read_max_snp[r];
-        i32 snp_thres = rms;
-        for (int c = 0; c < 2; ++c)
-            for (int w = 0; w <= MAXSNPS; ++w) buckets[c][w].clear();
-        seen.clear();
-
-        // int2hit chr resolution helper
-        auto resolve = [&](i32 loc_cat, int plane, i32 gsz, i32 gpos,
-                           H& out_h) {
-            // binary search: last anchor <= loc (ref: align.cpp:325-333)
-            i32 lo = 0, hi = n_chr;
-            while (lo < hi - 1) {
-                i32 mid = (lo + hi) / 2;
-                if ((i64)loc_cat >= anchors[mid]) lo = mid; else hi = mid;
-            }
-            i64 local = (i64)loc_cat - anchors[lo];
-            i32 gp = gpos;
-            if (plane) {
-                local = rc_off[lo] - L - local;
-                gp = L + (gsz < 0 ? gsz : 0) - gpos;
-                local -= gsz;
-            }
-            out_h = H{(i32)(2 * lo + plane), (i32)local, gsz, gp};
-        };
-
-        // AddHit (ref: align.cpp:329-347); returns 1 => abort current SnpAlign
-        auto add_hit = [&](int chain, i32 w, const H& h) -> int {
-            if (h.loc < 0) return 0;
-            if ((u32)h.loc + (u32)L > (u64)sizes[h.chr >> 1]) return 0;
-            u64 key = ((u64)(h.gsz != 0) << 63) | ((u64)(u32)(h.chr >> 1) << 32)
-                      | (u64)(u32)h.loc;
-            if (!seen.insert(key).second) return 0;
-            buckets[chain][w].push_back(h);
-            if ((i32)(buckets[0][w].size() + buckets[1][w].size()) >= max_num_hits) {
-                if (w == 0) return 1;
-                snp_thres = w - 1;
-            }
-            return 0;
-        };
-
-        // GapAlign (ref: align.cpp:348-410)
-        auto gap_align = [&](i64 ci, int chain, int plane, i64 seed_pos) -> int {
-            if (snp_thres < 2) return 0;
-            const i32* p0 = pos0 + ci * KPOS;
-            i32 ret0 = p0[snp_thres - 2];
-            if (ret0 < (i32)(seed_pos + seed_size)) return 0;
-            for (i32 tt = 1; tt <= gap2; ++tt) {
-                i32 t = (tt + 1) / 2;
-                i32 shift = (1 - (tt % 2) * 2) * t;
-                i32 shift1 = shift < 0 ? shift : 0;
-                if (snp_thres < 1 + t) break;
-                i32 rl = L - t - 1;
-                const i32* mmi2 = pos1 + (ci * gap2 + (tt - 1)) * KPOS;
-                for (i32 i = 0; i < snp_thres - t; ++i) {
-                    i32 gpos = p0[i];
-                    if (gpos < gap_edge || gpos >= rl) continue;
-                    for (i32 j = 0; j < snp_thres - t - i; ++j) {
-                        i32 m2 = mmi2[j];
-                        if (m2 < gap_edge || m2 >= rl) continue;
-                        if (gpos + m2 - shift1 < L) continue;
-                        i32 gap_snp = i + j + t;
-                        i32 clip = gpos + gap_edge - L - shift1;
-                        if (clip > 0) gpos -= clip;
-                        H h;
-                        resolve(cand_loc[ci], plane, shift, gpos, h);
-                        return add_hit(chain, gap_snp, h);
-                    }
-                }
-            }
-            return 0;
-        };
-
-        // RunAlign stratum loop
-        bool stop = false;
-        for (i32 mode = 0; mode < seedseg[r] && !stop; ++mode) {
-            bool abort_mode = false;
-            for (i64 gi = group_offsets[r]; gi < group_offsets[r + 1] && !abort_mode; ++gi) {
-                const Group& g = groups[gi];
-                if (g.mode != mode) continue;
-                i64 m = g.m, jj = g.jj0;
-                for (i64 it = 0; it < m; ++it) {
-                    i64 ci = g.start + jj;
-                    int plane = jj > g.mc ? 1 : 0;
-                    i32 cnt = counts_dev[ci];
-                    if (cnt <= snp_thres) {
-                        H h;
-                        resolve(cand_loc[ci], plane, 0, 0, h);
-                        if (add_hit((int)g.chain, cnt, h)) { abort_mode = true; break; }
-                    }
-                    if (gap > 0)
-                        if (gap_align(ci, (int)g.chain, plane, g.h)) { abort_mode = true; break; }
-                    if (++jj >= m) jj -= m;
-                }
-            }
-            if (abort_mode) break;
-            if (!nt3) {
-                for (i32 ii = 0; ii <= std::min(mode, rms); ++ii)
-                    if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) { stop = true; break; }
-            }
-        }
-
-        // StringAlign stratum pick
-        i32 best = rms + 1;
-        for (i32 ii = 0; ii <= rms; ++ii)
-            if (!buckets[0][ii].empty() || !buckets[1][ii].empty()) { best = ii; break; }
-        out_stratum[r] = best;
-        if (best <= rms) {
-            i64 need = (i64)(buckets[0][best].size() + buckets[1][best].size());
-            if (hw + need > hit_cap) return -1;
-            out_n0[r] = (i32)buckets[0][best].size();
-            out_n1[r] = (i32)buckets[1][best].size();
-            for (int c = 0; c < 2; ++c)
-                for (const H& h : buckets[c][best]) {
-                    hit_chr[hw] = h.chr; hit_loc[hw] = h.loc;
-                    hit_gsz[hw] = h.gsz; hit_gpos[hw] = h.gpos;
-                    hit_chain[hw] = (u8)c;
-                    ++hw;
-                }
-        }
+        sc.init(&cx, groups, group_offsets[r], group_offsets[r + 1],
+                map_len[r], read_max_snp[r], seedseg[r]);
+        sc.run_all();
+        if (emit_best(sc, out_stratum + r, out_n0 + r, out_n1 + r, hw,
+                      hit_cap, hit_chr, hit_loc, hit_gsz, hit_gpos,
+                      hit_chain) < 0)
+            return -1;
     }
     hit_offsets[B] = hw;
+    return 0;
+}
+
+// GetPairs (ref: pairs.cpp:29-130) over two scans' sorted buckets.
+struct PairRec { i32 chain, na, nb, insert; H a, b; };
+
+static i32 get_pairs(const ScanState& sa, const ScanState& sb, i32 na, i32 nb,
+                     std::vector<PairRec>* pairhits, i32 max_num_hits,
+                     i64 min_insert, i64 max_insert) {
+    if (na > sa.rms || nb > sb.rms) return 0;
+    i32 la = sa.L, lb = sb.L;
+    i32 npair = 0;
+    std::vector<PairRec>& bucket = pairhits[na + nb];
+    for (int chain = 0; chain < 2; ++chain) {
+        const std::vector<H>& alist = chain == 0 ? sa.buckets[0][na]
+                                                 : sa.buckets[1][na];
+        const std::vector<H>& blist = chain == 0 ? sb.buckets[1][nb]
+                                                 : sb.buckets[0][nb];
+        i64 chra = -1;
+        size_t bstart = 0, bend = 0;
+        for (const H& ah : alist) {
+            if (chra != ah.chr) {
+                chra = ah.chr;
+                bstart = bend;
+                while (bstart < blist.size() && blist[bstart].chr < chra)
+                    ++bstart;
+                bend = bstart;
+                while (bend < blist.size() && blist[bend].chr <= chra)
+                    ++bend;
+            }
+            for (size_t j = bstart; j < bend; ++j) {
+                const H& bh = blist[j];
+                i64 seg_start, seg_end;
+                if ((chra & 1) == chain) {
+                    seg_start = ah.loc; seg_end = (i64)bh.loc + lb;
+                } else {
+                    seg_start = bh.loc; seg_end = (i64)ah.loc + la;
+                }
+                u32 insert = (u32)(seg_end - seg_start);
+                if (insert >= (u32)min_insert && insert <= (u32)max_insert) {
+                    bucket.push_back(PairRec{chain, na, nb, (i32)insert,
+                                             ah, bh});
+                    ++npair;
+                    if ((i32)bucket.size() >= max_num_hits) return npair;
+                }
+            }
+        }
+    }
+    return npair;
+}
+
+// PE lockstep replay (PairAlign::RunAlign, ref: pairs.cpp:132-177).
+// Outputs per pair: the first nonempty pairhits bucket (flattened 12-i32
+// records) + both ends' best-stratum buckets (for the unpaired fallback).
+// Returns 0 ok, -1 if a capacity is insufficient.
+i64 bt_replay_pe(
+    i32 B,
+    // end A
+    const Group* groups_a, const i64* goff_a, const i32* counts_a,
+    const i32* pos0_a, const i32* pos1_a, const i32* cand_loc_a,
+    const i32* map_len_a, const i32* rms_a, const i32* seedseg_a,
+    const u8* filtered_a,
+    // end B
+    const Group* groups_b, const i64* goff_b, const i32* counts_b,
+    const i32* pos0_b, const i32* pos1_b, const i32* cand_loc_b,
+    const i32* map_len_b, const i32* rms_b, const i32* seedseg_b,
+    const u8* filtered_b,
+    // shared
+    const i64* anchors, i32 n_chr, const i64* rc_off, const i64* sizes,
+    i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
+    i64 min_insert, i64 max_insert,
+    // pair outputs
+    i32* out_paired,            // [B] RunAlign return (0/1/n)
+    i32* out_pair_cnt,          // [B] count in first nonempty bucket
+    i64 pair_cap, i32* pair_data /* [pair_cap, 12] */,
+    i64* pair_offsets /* [B+1] */,
+    // per-end outputs (same layout as bt_replay_se)
+    i32* stat_a, i32* n0_a, i32* n1_a,
+    i32* stat_b, i32* n0_b, i32* n1_b,
+    i64 hit_cap,
+    i32* hchr_a, i32* hloc_a, i32* hgsz_a, i32* hgpos_a, u8* hchain_a,
+    i64* hoff_a,
+    i32* hchr_b, i32* hloc_b, i32* hgsz_b, i32* hgpos_b, u8* hchain_b,
+    i64* hoff_b)
+{
+    RefCtx cxa{anchors, rc_off, sizes, n_chr, counts_a, pos0_a, pos1_a,
+               cand_loc_a, seed_size, gap, gap_edge, max_num_hits, nt3};
+    RefCtx cxb{anchors, rc_off, sizes, n_chr, counts_b, pos0_b, pos1_b,
+               cand_loc_b, seed_size, gap, gap_edge, max_num_hits, nt3};
+    ScanState sa, sb;
+    std::vector<PairRec> pairhits[2 * MAXSNPS + 1];
+    i64 pw = 0, hwa = 0, hwb = 0;
+
+    for (i32 r = 0; r < B; ++r) {
+        pair_offsets[r] = pw;
+        hoff_a[r] = hwa; hoff_b[r] = hwb;
+        out_paired[r] = 0; out_pair_cnt[r] = 0;
+        stat_a[r] = -1; stat_b[r] = -1;
+        n0_a[r] = n1_a[r] = n0_b[r] = n1_b[r] = 0;
+        bool fa = filtered_a[r], fb = filtered_b[r];
+        if (!fa)
+            sa.init(&cxa, groups_a, goff_a[r], goff_a[r + 1], map_len_a[r],
+                    rms_a[r], seedseg_a[r]);
+        if (!fb)
+            sb.init(&cxb, groups_b, goff_b[r], goff_b[r + 1], map_len_b[r],
+                    rms_b[r], seedseg_b[r]);
+        i32 paired = 0;
+        if (!fa && !fb) {
+            for (int i = 0; i <= 2 * MAXSNPS; ++i) pairhits[i].clear();
+            i32 n = 0;
+            i32 maxi = std::max(sa.rms, sb.rms);
+            for (i32 i = 0; i <= maxi; ++i) {
+                sa.step_mode(i);
+                sb.step_mode(i);
+                sa.sort_bucket(i);
+                sb.sort_bucket(i);
+                n += get_pairs(sa, sb, i, i, pairhits, max_num_hits,
+                               min_insert, max_insert);
+                for (i32 j = 0; j < i; ++j) {
+                    n += get_pairs(sa, sb, i, j, pairhits, max_num_hits,
+                                   min_insert, max_insert);
+                    n += get_pairs(sa, sb, j, i, pairhits, max_num_hits,
+                                   min_insert, max_insert);
+                }
+                if (nt3) continue;
+                if (n > 0) { paired = 1; break; }
+            }
+            if (!paired) paired = n;
+            if (paired) {
+                for (int i = 0; i <= 2 * MAXSNPS; ++i) {
+                    if (pairhits[i].empty()) continue;
+                    i64 cnt = (i64)pairhits[i].size();
+                    if (pw + cnt > pair_cap) return -1;
+                    out_pair_cnt[r] = (i32)cnt;
+                    for (const PairRec& pr : pairhits[i]) {
+                        i32* d = pair_data + pw * 12;
+                        d[0] = pr.chain; d[1] = pr.na; d[2] = pr.nb;
+                        d[3] = pr.insert;
+                        d[4] = pr.a.chr; d[5] = pr.a.loc; d[6] = pr.a.gsz;
+                        d[7] = pr.a.gpos;
+                        d[8] = pr.b.chr; d[9] = pr.b.loc; d[10] = pr.b.gsz;
+                        d[11] = pr.b.gpos;
+                        ++pw;
+                    }
+                    break;
+                }
+            }
+        } else {
+            if (!fa) sa.run_all();
+            if (!fb) sb.run_all();
+        }
+        out_paired[r] = paired;
+        if (!fa) {
+            if (emit_best(sa, stat_a + r, n0_a + r, n1_a + r, hwa, hit_cap,
+                          hchr_a, hloc_a, hgsz_a, hgpos_a, hchain_a) < 0)
+                return -1;
+        }
+        if (!fb) {
+            if (emit_best(sb, stat_b + r, n0_b + r, n1_b + r, hwb, hit_cap,
+                          hchr_b, hloc_b, hgsz_b, hgpos_b, hchain_b) < 0)
+                return -1;
+        }
+    }
+    pair_offsets[B] = pw;
+    hoff_a[B] = hwa; hoff_b[B] = hwb;
     return 0;
 }
 

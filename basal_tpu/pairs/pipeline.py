@@ -147,15 +147,16 @@ class PairEmitter:
         return 0
 
     # -- StringAlignUnpair (pairs.cpp:232-305) ---------------------------
-    def emit_unpair(self, reads, Ls, scans, filters, out: List[str]):
+    def emit_unpair(self, reads, Ls, results, rms2, filters, out: List[str]):
+        """``results``: per-end ReadResult (or None when filtered);
+        ``rms2``: per-end read_max_snp."""
         p = self.p
         picks = []
         for end in range(2):
-            sc: Optional[ReadScan] = scans[end]
             if filters[end]:
                 picks.append((-1, 0, None, 0))
                 continue
-            res = sc.result()
+            res = results[end]
             m = res.nhits
             if m > 0:
                 rr = self.rng(reads[end].index) % m
@@ -164,9 +165,9 @@ class PairEmitter:
                     c, h = 0, res.hits0[rr]
                 else:
                     c, h = 1, res.hits1[rr - n0]
-                picks.append((m, res.stratum % (sc.rms + 1), h, c))
+                picks.append((m, res.stratum % (rms2[end] + 1), h, c))
             else:
-                picks.append((0, (sc.rms + 1) % (sc.rms + 1), None, 0))
+                picks.append((0, 0, None, 0))
         (ma, na, ha, ca), (mb, nb, hb, cb) = picks
         ma1 = 0 if (ma > 1 and p.report_repeat_hits == 0) else ma
         mb1 = 0 if (mb > 1 and p.report_repeat_hits == 0) else mb
@@ -174,7 +175,7 @@ class PairEmitter:
         for end, (m, n_, h, c), (om1, oh, oc) in (
                 (0, picks[0], (mb1, hb, cb)), (1, picks[1], (ma1, ha, ca))):
             read, L = reads[end], Ls[end]
-            sc = scans[end]
+            res = results[end]
             if m <= 0:
                 if p.out_unmap:
                     self.out_hit_unpair(read, L, 0, oc, m, 0, h, om1, oh, out)
@@ -202,7 +203,6 @@ class PairEmitter:
                         self.n_aligned_a += 1
                     else:
                         self.n_aligned_b += 1
-                    res = sc.result()
                     for hh in res.hits0:
                         self.out_hit_unpair(read, L, 0, oc, m, n_, hh, om1, oh, out)
                     for hh in res.hits1:
@@ -212,7 +212,8 @@ class PairEmitter:
 
 
 class PairEndAligner:
-    def __init__(self, params: AlignParams, ref: PackedReference, index):
+    def __init__(self, params: AlignParams, ref: PackedReference, index,
+                 use_native=None):
         self.p = params
         self.ref = ref
         self.index = index
@@ -222,11 +223,19 @@ class PairEndAligner:
         self.dev = DeviceContext(ref, params)
         self.replayer = Replayer(params, ref, self.rng)
         self.emitter = PairEmitter(params, ref, self.rng)
+        from ..native import NativeBatch, native_available
+        if use_native is None:
+            use_native = (native_available() and params.randseed != 0
+                          and not params.rrbs_flag)
+        self.native_a = NativeBatch(params, index, ref) if use_native else None
+        self.native_b = NativeBatch(params, index, ref) if use_native else None
 
     def align_batch(self, reads_a, reads_b) -> str:
         p = self.p
         enc_a = encode_batch(p, reads_a)
         enc_b = encode_batch(p, reads_b)
+        if self.native_a is not None:
+            return self._align_batch_native(enc_a, enc_b)
         res = []
         for enc, sched in ((enc_a, self.sched_a), (enc_b, self.sched_b)):
             table = build_candidates(p, self.index, enc, sched)
@@ -260,8 +269,72 @@ class PairEndAligner:
                 pair_reported = self.emitter.emit_pair(
                     (ra, rb), (La, Lb), pairhits, ra.index, out)
             if pair_reported == 0 or paired == 0:
-                self.emitter.emit_unpair((ra, rb), (La, Lb), (sa, sb),
-                                         (fa, fb), out)
+                results = (None if fa else sa.result(),
+                           None if fb else sb.result())
+                self.emitter.emit_unpair(
+                    (ra, rb), (La, Lb), results,
+                    (int(enc_a.read_max_snp[i]), int(enc_b.read_max_snp[i])),
+                    (fa, fb), out)
+        return "".join(out)
+
+    def _align_batch_native(self, enc_a, enc_b) -> str:
+        from ..align.replay import ReadResult
+        from ..native import replay_pe
+        p = self.p
+        cand = []
+        res = []
+        for enc, nat in ((enc_a, self.native_a), (enc_b, self.native_b)):
+            ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
+            c = nat.build_candidates(enc, ridx)
+            cand.append(c)
+            if c[0].size:
+                res.append(self.dev.extend_async(
+                    enc, c[0], c[1].astype(np.int32), c[2]))
+            else:
+                res.append(None)
+        fetched = [self.dev.fetch(*h) if h is not None
+                   else (np.zeros(0, np.int32), None, None) for h in res]
+        paired, pcnt, pdata, poff, ends = replay_pe(
+            p, self.ref, enc_a, cand[0], fetched[0],
+            enc_b, cand[1], fetched[1])
+
+        def end_result(e, i):
+            if e["stat"][i] < 0:
+                return None
+            a, b = int(e["hoff"][i]), int(e["hoff"][i + 1])
+            hits = [(int(e["hchr"][j]), int(e["hloc"][j]), int(e["hgsz"][j]),
+                     int(e["hgpos"][j])) for j in range(a, b)]
+            k0 = int(e["n0"][i])
+            return ReadResult(filtered=False, stratum=int(e["stat"][i]),
+                              nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
+
+        out: List[str] = []
+        pair_reported = 0
+        for i in range(len(enc_a.reads)):
+            ra, rb = enc_a.reads[i], enc_b.reads[i]
+            fa, fb = bool(enc_a.filtered[i]), bool(enc_b.filtered[i])
+            ra.name, rb.name = fix_pair_read_name(ra.name, rb.name)
+            La, Lb = int(enc_a.map_len[i]), int(enc_b.map_len[i])
+            if paired[i]:
+                pairhits = [[] for _ in range(2 * MAXSNPS + 1)]
+                a0, b0 = int(poff[i]), int(poff[i + 1])
+                if b0 > a0:
+                    d0 = pdata[a0]
+                    bucket = int(d0[1]) + int(d0[2])
+                    for j in range(a0, b0):
+                        d = pdata[j]
+                        pairhits[bucket].append((
+                            int(d[0]), int(d[1]), int(d[2]), int(d[3]),
+                            (int(d[4]), int(d[5]), int(d[6]), int(d[7])),
+                            (int(d[8]), int(d[9]), int(d[10]), int(d[11]))))
+                pair_reported = self.emitter.emit_pair(
+                    (ra, rb), (La, Lb), pairhits, ra.index, out)
+            if pair_reported == 0 or not paired[i]:
+                results = (end_result(ends[0], i), end_result(ends[1], i))
+                self.emitter.emit_unpair(
+                    (ra, rb), (La, Lb), results,
+                    (int(enc_a.read_max_snp[i]), int(enc_b.read_max_snp[i])),
+                    (fa, fb), out)
         return "".join(out)
 
 
