@@ -131,33 +131,79 @@ class SingleEndAligner:
                        if use_native else None)
 
     # -- two-phase API for the overlapped pipeline -----------------------
+    # Strata evaluated in the first device wave.  ~96% of reads resolve in
+    # the first two strata, which hold ~22% of candidates (segments sorted by
+    # ascending frequency) — useful when candidate upload bandwidth is the
+    # bottleneck (e.g. -I 1 whole-genome indexes).  Default 99 = single wave:
+    # with the native host engine the host, not the wire, is the limit.
+    WAVE_MODES = 99
+
     def submit_batch(self, reads):
-        """Host encode + candidate build + async device dispatch."""
+        """Host encode + candidate build + async device dispatch (wave 1:
+        candidates of the first WAVE_MODES strata only)."""
         enc = encode_batch(self.p, reads)
         self.total_reads += len(reads)
         if self.native is None:
             return ("py", enc)
         ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
         cand = self.native.build_candidates(enc, ridx)
-        cand_loc, cand_plane, cand_row = cand[0], cand[1], cand[2]
-        self.total_candidates += cand_loc.size
-        if cand_loc.size:
-            handle = self.dev.extend_async(
-                enc, cand_loc, cand_plane.astype(np.int32), cand_row)
-        else:
-            handle = None
-        return ("native", enc, cand, handle)
+        cand_loc, cand_plane, cand_row, groups, goff = cand
+        C = cand_loc.size
+        self.total_candidates += C
+        if C == 0:
+            return ("native", enc, cand, None, None, None)
+        cand_mode = np.repeat(groups[:, 2], groups[:, 6])
+        idx_a = np.flatnonzero(cand_mode < self.WAVE_MODES)
+        handle = self.dev.extend_async(
+            enc, cand_loc[idx_a], cand_plane[idx_a].astype(np.int32),
+            cand_row[idx_a])
+        return ("native", enc, cand, cand_mode, idx_a, handle)
 
     def finish_batch(self, state) -> str:
         if state[0] == "py":
             return self._align_batch_python(state[1])
-        _, enc, cand, handle = state
+        _, enc, cand, cand_mode, idx_a, handle = state
         cand_loc, cand_plane, cand_row, groups, goff = cand
-        if handle is not None:
-            counts, pos0, pos1 = self.dev.fetch(*handle)
-        else:
-            counts, pos0, pos1 = np.zeros(0, np.int32), None, None
-        return self._emit_native(enc, cand, counts, pos0, pos1)
+        p = self.p
+        C = cand_loc.size
+        if handle is None:
+            z = np.zeros(0, np.int32)
+            res = self.native.replay_se(enc, groups, goff, cand_loc,
+                                        cand_plane, z, None, None)
+            return self._emit_native(enc, cand, res, None)
+
+        counts = np.full(C, 255, np.int32)
+        pos0 = np.zeros((C, 14), np.int32) if p.gap > 0 else None
+        pos1 = np.zeros((C, 2 * p.gap, 14), np.int32) if p.gap > 0 else None
+        ca, pa0, pa1 = self.dev.fetch(*handle)
+        counts[idx_a] = ca
+        if p.gap > 0:
+            pos0[idx_a] = pa0
+            pos1[idx_a] = pa1
+        res1 = self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
+                                     counts, pos0, pos1,
+                                     mode_limit=self.WAVE_MODES)
+        incomplete = res1[0] == -2
+        if not incomplete.any():
+            return self._emit_native(enc, cand, res1, None)
+        # wave 2: remaining strata of unresolved reads only
+        read_of_cand = cand_row >> 1
+        sel_b = (cand_mode >= self.WAVE_MODES) & incomplete[read_of_cand]
+        idx_b = np.flatnonzero(sel_b)
+        if idx_b.size:
+            h2 = self.dev.extend_async(
+                enc, cand_loc[idx_b], cand_plane[idx_b].astype(np.int32),
+                cand_row[idx_b])
+            cb, pb0, pb1 = self.dev.fetch(*h2)
+            counts[idx_b] = cb
+            if p.gap > 0:
+                pos0[idx_b] = pb0
+                pos1[idx_b] = pb1
+        filt2 = np.ascontiguousarray(enc.filtered | ~incomplete, np.uint8)
+        res2 = self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
+                                     counts, pos0, pos1,
+                                     filtered_override=filt2)
+        return self._emit_native(enc, cand, res1, (incomplete, res2))
 
     def align_batch(self, reads) -> str:
         return self.finish_batch(self.submit_batch(reads))
@@ -182,23 +228,25 @@ class SingleEndAligner:
             self.emitter.emit_read(read, res, int(L), out)
         return "".join(out)
 
-    def _emit_native(self, enc, cand, counts, pos0, pos1) -> str:
+    def _emit_native(self, enc, cand, res1, wave2) -> str:
         from .replay import ReadResult
-        cand_loc, cand_plane, cand_row, groups, goff = cand
-        (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = \
-            self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
-                                  counts, pos0, pos1)
+
+        def read_result(res, i):
+            (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = res
+            if stratum[i] < 0:
+                return ReadResult(filtered=True)
+            a, b = int(hoff[i]), int(hoff[i + 1])
+            hits = [(int(hchr[j]), int(hloc[j]), int(hgsz[j]),
+                     int(hgpos[j])) for j in range(a, b)]
+            k0 = int(n0[i])
+            return ReadResult(filtered=False, stratum=int(stratum[i]),
+                              nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
+
+        incomplete, res2 = wave2 if wave2 is not None else (None, None)
         out: List[str] = []
         for i, read in enumerate(enc.reads):
-            if stratum[i] < 0:
-                res = ReadResult(filtered=True)
-            else:
-                a, b = int(hoff[i]), int(hoff[i + 1])
-                hits = [(int(hchr[j]), int(hloc[j]), int(hgsz[j]),
-                         int(hgpos[j])) for j in range(a, b)]
-                k0 = int(n0[i])
-                res = ReadResult(filtered=False, stratum=int(stratum[i]),
-                                 nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
+            res = (read_result(res2, i) if incomplete is not None
+                   and incomplete[i] else read_result(res1, i))
             self.emitter.emit_read(read, res, int(enc.map_len[i]), out)
         return "".join(out)
 

@@ -157,7 +157,8 @@ class NativeBatch:
         return cand_loc, cand_plane, cand_row, groups, goff
 
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
-                  counts_dev, pos0, pos1):
+                  counts_dev, pos0, pos1, mode_limit=99,
+                  filtered_override=None):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
@@ -187,10 +188,13 @@ class NativeBatch:
                 _p(enc.map_len, ctypes.c_int32),
                 _p(enc.read_max_snp, ctypes.c_int32),
                 _p(enc.seedseg_num, ctypes.c_int32),
-                _p(np.ascontiguousarray(enc.filtered, np.uint8), ctypes.c_uint8),
+                _p(np.ascontiguousarray(
+                    enc.filtered if filtered_override is None
+                    else filtered_override, np.uint8), ctypes.c_uint8),
                 ctypes.c_int32(p.seed_size), ctypes.c_int32(p.gap),
                 ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
                 ctypes.c_int32(1 if p.nt3 else 0),
+                ctypes.c_int32(mode_limit),
                 _p(out_stratum, ctypes.c_int32), _p(out_n0, ctypes.c_int32),
                 _p(out_n1, ctypes.c_int32),
                 ctypes.c_int64(hit_cap),

@@ -393,6 +393,8 @@ i64 bt_replay_se(
     const i32* map_len, const i32* read_max_snp, const i32* seedseg,
     const u8* filtered,
     i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
+    i32 mode_limit,             // scan only modes < limit; reads that would
+                                // continue past it report stratum -2
     // outputs
     i32* out_stratum, i32* out_n0, i32* out_n1,
     i64 hit_cap,
@@ -410,7 +412,21 @@ i64 bt_replay_se(
         if (filtered[r]) { out_stratum[r] = -1; continue; }
         sc.init(&cx, groups, group_offsets[r], group_offsets[r + 1],
                 map_len[r], read_max_snp[r], seedseg[r]);
-        sc.run_all();
+        // RunAlign stratum loop, truncated at mode_limit for the first wave
+        bool resolved = true;
+        {
+            i32 lim = std::min(sc.segnum, mode_limit);
+            i32 mode = 0;
+            bool stopped = false;
+            for (; mode < lim; ++mode) {
+                sc.step_mode(mode);
+                if (sc.last_abort) { stopped = true; break; }
+                if (!nt3 && sc.has_hits_le(mode)) { stopped = true; break; }
+            }
+            if (!stopped && sc.segnum > mode_limit)
+                resolved = false;   // would keep scanning -> needs wave 2
+        }
+        if (!resolved) { out_stratum[r] = -2; continue; }
         if (emit_best(sc, out_stratum + r, out_n0 + r, out_n1 + r, hw,
                       hit_cap, hit_chr, hit_loc, hit_gsz, hit_gpos,
                       hit_chain) < 0)
