@@ -131,79 +131,117 @@ class SingleEndAligner:
                        if use_native else None)
 
     # -- two-phase API for the overlapped pipeline -----------------------
-    # Strata evaluated in the first device wave.  ~96% of reads resolve in
-    # the first two strata, which hold ~22% of candidates (segments sorted by
-    # ascending frequency) — useful when candidate upload bandwidth is the
-    # bottleneck (e.g. -I 1 whole-genome indexes).  Default 99 = single wave:
-    # with the native host engine the host, not the wire, is the limit.
-    WAVE_MODES = 99
+    # Wave policy: evaluate every stratum's candidates in one device call
+    # while the total volume is small.  On candidate-heavy inputs (repetitive
+    # genomes: 10^4-10^5 candidates/read) climb the strata ladder instead —
+    # wave k evaluates only stratum-k candidates of still-unresolved reads,
+    # which reproduces the cost profile of the reference's pigeonhole early
+    # stop (align.cpp:459-463) while staying batched.
+    EAGER_MAX_CANDS = 2_000_000
 
     def submit_batch(self, reads):
-        """Host encode + candidate build + async device dispatch (wave 1:
-        candidates of the first WAVE_MODES strata only)."""
+        """Host encode + lazy candidate build + async dispatch of wave 1."""
         enc = encode_batch(self.p, reads)
         self.total_reads += len(reads)
         if self.native is None:
             return ("py", enc)
         ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
-        cand = self.native.build_candidates(enc, ridx)
-        cand_loc, cand_plane, cand_row, groups, goff = cand
-        C = cand_loc.size
-        self.total_candidates += C
-        if C == 0:
-            return ("native", enc, cand, None, None, None)
-        cand_mode = np.repeat(groups[:, 2], groups[:, 6])
-        idx_a = np.flatnonzero(cand_mode < self.WAVE_MODES)
-        handle = self.dev.extend_async(
-            enc, cand_loc[idx_a], cand_plane[idx_a].astype(np.int32),
-            cand_row[idx_a])
-        return ("native", enc, cand, cand_mode, idx_a, handle)
+        groups, goff, total = self.native.build_groups(enc, ridx)
+        ng = groups.shape[0]
+        off = np.full(ng, -1, dtype=np.int64)
+        if ng == 0:
+            return ("native", enc, groups, goff, off, None, None, None, 99)
+        eff = 99 if total <= self.EAGER_MAX_CANDS else 1
+        sel = (np.arange(ng) if eff >= 99
+               else np.flatnonzero(groups[:, 2] < eff))
+        loc, plane, row = self.native.fill_groups(enc, groups, sel, off)
+        self.total_candidates += loc.size
+        handle, uinv = self._dispatch_unique(enc, loc, plane, row)
+        return ("native", enc, groups, goff, off, (loc, plane, row),
+                handle, uinv, eff)
+
+    def _dispatch_unique(self, enc, loc, plane, row):
+        """Dedup identical (row, loc, plane) candidates before device eval
+        (interval probes regenerate the same alignment start up to
+        seedsegs x I times on repeat-heavy genomes)."""
+        key = ((row.astype(np.int64) << 33)
+               | (loc.astype(np.int64) << 1) | plane.astype(np.int64))
+        uniq, inv = np.unique(key, return_inverse=True)
+        if len(uniq) < 0.75 * len(key):
+            order = np.argsort(inv, kind="stable")
+            starts = np.searchsorted(inv[order], np.arange(len(uniq)))
+            first = order[starts]
+            handle = self.dev.extend_async(
+                enc, loc[first], plane[first].astype(np.int32), row[first])
+            return handle, inv
+        handle = self.dev.extend_async(enc, loc, plane.astype(np.int32), row)
+        return handle, None
+
+    def _fetch_expand(self, handle, uinv):
+        counts, pos0, pos1 = self.dev.fetch(*handle)
+        if uinv is not None:
+            counts = counts[uinv]
+            if pos0 is not None:
+                pos0 = pos0[uinv]
+                pos1 = pos1[uinv]
+        return counts, pos0, pos1
 
     def finish_batch(self, state) -> str:
         if state[0] == "py":
             return self._align_batch_python(state[1])
-        _, enc, cand, cand_mode, idx_a, handle = state
-        cand_loc, cand_plane, cand_row, groups, goff = cand
+        (_, enc, groups, goff, off, arrs, handle, uinv, eff) = state
         p = self.p
-        C = cand_loc.size
         if handle is None:
             z = np.zeros(0, np.int32)
-            res = self.native.replay_se(enc, groups, goff, cand_loc,
-                                        cand_plane, z, None, None)
-            return self._emit_native(enc, cand, res, None)
+            res = self.native.replay_se(enc, groups, goff, z, None, z,
+                                        None, None, counts_off=off)
+            return self._emit_native(enc, [(None, res)])
+        loc, plane, row = arrs
+        counts, pos0, pos1 = self._fetch_expand(handle, uinv)
+        if eff >= 99:
+            res = self.native.replay_se(enc, groups, goff, loc, plane,
+                                        counts, pos0, pos1, counts_off=off)
+            return self._emit_native(enc, [(None, res)])
 
-        counts = np.full(C, 255, np.int32)
-        pos0 = np.zeros((C, 14), np.int32) if p.gap > 0 else None
-        pos1 = np.zeros((C, 2 * p.gap, 14), np.int32) if p.gap > 0 else None
-        ca, pa0, pa1 = self.dev.fetch(*handle)
-        counts[idx_a] = ca
-        if p.gap > 0:
-            pos0[idx_a] = pa0
-            pos1[idx_a] = pa1
-        res1 = self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
-                                     counts, pos0, pos1,
-                                     mode_limit=self.WAVE_MODES)
-        incomplete = res1[0] == -2
-        if not incomplete.any():
-            return self._emit_native(enc, cand, res1, None)
-        # wave 2: remaining strata of unresolved reads only
-        read_of_cand = cand_row >> 1
-        sel_b = (cand_mode >= self.WAVE_MODES) & incomplete[read_of_cand]
-        idx_b = np.flatnonzero(sel_b)
-        if idx_b.size:
-            h2 = self.dev.extend_async(
-                enc, cand_loc[idx_b], cand_plane[idx_b].astype(np.int32),
-                cand_row[idx_b])
-            cb, pb0, pb1 = self.dev.fetch(*h2)
-            counts[idx_b] = cb
-            if p.gap > 0:
-                pos0[idx_b] = pb0
-                pos1[idx_b] = pb1
-        filt2 = np.ascontiguousarray(enc.filtered | ~incomplete, np.uint8)
-        res2 = self.native.replay_se(enc, groups, goff, cand_loc, cand_plane,
-                                     counts, pos0, pos1,
-                                     filtered_override=filt2)
-        return self._emit_native(enc, cand, res1, (incomplete, res2))
+        # strata ladder
+        read_of_group = groups[:, 0]
+        waves = []
+        done = np.zeros(len(enc.reads), dtype=bool)
+        lim = eff
+        while True:
+            filt = np.ascontiguousarray(enc.filtered | done, np.uint8)
+            res = self.native.replay_se(enc, groups, goff, loc, plane,
+                                        counts, pos0, pos1, mode_limit=lim,
+                                        filtered_override=filt,
+                                        counts_off=off)
+            incomplete = res[0] == -2
+            newly = (~incomplete) & (~done)
+            waves.append((newly, res))
+            done |= newly
+            if not incomplete.any():
+                break
+            sel = np.flatnonzero((groups[:, 2] == lim)
+                                 & incomplete[read_of_group])
+            loc2, plane2, row2 = self.native.fill_groups(
+                enc, groups, sel, off, base=len(loc))
+            self.total_candidates += loc2.size
+            if loc2.size:
+                h2, uinv2 = self._dispatch_unique(enc, loc2, plane2, row2)
+                c2, p02, p12 = self._fetch_expand(h2, uinv2)
+            else:
+                c2 = np.zeros(0, counts.dtype)
+                p02 = p12 = None
+            loc = np.concatenate([loc, loc2])
+            counts = np.concatenate([counts, c2])
+            if pos0 is not None:
+                pos0 = np.concatenate(
+                    [pos0, p02 if p02 is not None
+                     else np.zeros((0,) + pos0.shape[1:], pos0.dtype)])
+                pos1 = np.concatenate(
+                    [pos1, p12 if p12 is not None
+                     else np.zeros((0,) + pos1.shape[1:], pos1.dtype)])
+            lim += 1
+        return self._emit_native(enc, waves)
 
     def align_batch(self, reads) -> str:
         return self.finish_batch(self.submit_batch(reads))
@@ -228,7 +266,7 @@ class SingleEndAligner:
             self.emitter.emit_read(read, res, int(L), out)
         return "".join(out)
 
-    def _emit_native(self, enc, cand, res1, wave2) -> str:
+    def _emit_native(self, enc, waves) -> str:
         from .replay import ReadResult
 
         def read_result(res, i):
@@ -242,14 +280,17 @@ class SingleEndAligner:
             return ReadResult(filtered=False, stratum=int(stratum[i]),
                               nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
 
-        incomplete, res2 = wave2 if wave2 is not None else (None, None)
         out: List[str] = []
         for i, read in enumerate(enc.reads):
-            res = (read_result(res2, i) if incomplete is not None
-                   and incomplete[i] else read_result(res1, i))
+            res = None
+            for mask, wres in waves:
+                if mask is None or mask[i]:
+                    res = read_result(wres, i)
+                    break
+            if res is None:  # only possible if every wave skipped it
+                res = read_result(waves[-1][1], i)
             self.emitter.emit_read(read, res, int(enc.map_len[i]), out)
         return "".join(out)
-
 
 class ThreadedRunner:
     """-p worker pool: the TPU-native replacement for the reference's pthread

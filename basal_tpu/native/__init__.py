@@ -42,6 +42,7 @@ def get_lib():
             return None
     lib = ctypes.CDLL(str(_SO))
     lib.bt_build_candidates.restype = ctypes.c_int64
+    lib.bt_fill_groups.restype = ctypes.c_int64
     lib.bt_replay_se.restype = ctypes.c_int64
     lib.bt_replay_pe.restype = ctypes.c_int64
     lib.bt_encode_batch.restype = ctypes.c_int64
@@ -108,8 +109,7 @@ class NativeBatch:
         self.rc_off = np.array([t.rc_offset for t in ref.titles], np.int64)
         self.sizes = np.array([t.size for t in ref.titles], np.int64)
 
-    def build_candidates(self, enc, read_indices):
-        lib = get_lib()
+    def _common_args(self, enc, read_indices):
         p = self.p
         B = len(enc.reads)
         S = enc.seedval.shape[-1] if enc.seedval.size else 1
@@ -118,8 +118,8 @@ class NativeBatch:
         xf = np.ascontiguousarray(enc.xflag_chain, np.uint8)
         flt = np.ascontiguousarray(enc.filtered, np.uint8)
         ridx = np.ascontiguousarray(read_indices, np.uint32)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        args_common = [
+        self._keep = (sv, hn, xf, flt, ridx)
+        return [
             ctypes.c_int32(B), ctypes.c_int32(S if S else 1),
             _p(sv, ctypes.c_uint32), _p(hn, ctypes.c_uint8),
             _p(enc.n_offsets, ctypes.c_int32), _p(enc.map_len, ctypes.c_int32),
@@ -134,7 +134,12 @@ class NativeBatch:
             ctypes.c_uint32(p.randseed),
             _p(self.profile, ctypes.c_int64),
             ctypes.c_int64(self.profile.shape[1]),
-        ]
+        ], sv
+
+    def build_candidates(self, enc, read_indices):
+        lib = get_lib()
+        B = len(enc.reads)
+        args_common, sv = self._common_args(enc, read_indices)
         ng = ctypes.c_int64(0)
         state0 = self.state.copy()
         need = lib.bt_build_candidates(
@@ -156,9 +161,69 @@ class NativeBatch:
             ctypes.byref(ng))
         return cand_loc, cand_plane, cand_row, groups, goff
 
+    def build_groups(self, enc, read_indices):
+        """Lazy variant: group table + per-read offsets only, candidate
+        arrays materialized later per wave via fill_groups."""
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        args_common, sv = self._common_args(enc, read_indices)
+        ng = ctypes.c_int64(0)
+        state0 = self.state.copy()
+        total = lib.bt_build_candidates(
+            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(0),
+            None, None, None, None, None, ctypes.byref(ng))
+        self.state[:] = state0
+        NG = int(ng.value)
+        groups = np.empty((NG, 9), np.int64)
+        goff = np.empty(B + 1, np.int64)
+        lib.bt_build_candidates(
+            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(2),
+            None, None, None,
+            _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
+            ctypes.byref(ng))
+        self._last_sv = sv  # keep alive + reuse for fill_groups
+        return groups, goff, int(total)
+
+    def fill_groups(self, enc, groups, sel, off, base=0):
+        """Materialize candidate arrays for the selected group indices,
+        writing compact offsets into ``off`` (int64 [ngroups])."""
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        S = enc.seedval.shape[-1] if enc.seedval.size else 1
+        sv = getattr(self, "_last_sv", None)
+        if sv is None or sv.shape[0] != B * 2:
+            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1), np.uint32)
+        sel = np.ascontiguousarray(sel, np.int64)
+        total = lib.bt_fill_groups(
+            _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
+            ctypes.c_int64(len(sel)),
+            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
+            _p(self.index.starts, ctypes.c_int64),
+            _p(self.index.n1, ctypes.c_int32),
+            _p(self.index.locs, ctypes.c_uint32),
+            ctypes.c_int32(0), ctypes.c_int64(base),
+            None, None, None, None)
+        C = int(total)
+        loc = np.empty(C, np.int32)
+        plane = np.empty(C, np.int8)
+        row = np.empty(C, np.int32)
+        lib.bt_fill_groups(
+            _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
+            ctypes.c_int64(len(sel)),
+            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
+            _p(self.index.starts, ctypes.c_int64),
+            _p(self.index.n1, ctypes.c_int32),
+            _p(self.index.locs, ctypes.c_uint32),
+            ctypes.c_int32(1), ctypes.c_int64(base),
+            _p(loc, ctypes.c_int32), _p(plane, ctypes.c_int8),
+            _p(row, ctypes.c_int32), _p(off, ctypes.c_int64))
+        return loc, plane, row
+
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
-                  filtered_override=None):
+                  filtered_override=None, counts_off=None):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
@@ -195,6 +260,7 @@ class NativeBatch:
                 ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
                 ctypes.c_int32(1 if p.nt3 else 0),
                 ctypes.c_int32(mode_limit),
+                _p(counts_off, ctypes.c_int64),
                 _p(out_stratum, ctypes.c_int32), _p(out_n0, ctypes.c_int32),
                 _p(out_n1, ctypes.c_int32),
                 ctypes.c_int64(hit_cap),

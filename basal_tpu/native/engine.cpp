@@ -179,16 +179,17 @@ i64 bt_build_candidates(
                     i64 m = counts[sd];
                     if (m == 0 || m > max_kmer_num) continue;
                     i64 h = off;  // h == seed offset in read (profile+start-i)
-                    if (fill) {
+                    if (fill == 1) {
                         const u32* lp = locs + starts[sd];
                         for (i64 j = 0; j < m; ++j) {
                             cand_loc[flat + j] = (i32)((i64)lp[j] - h);
                             cand_plane[flat + j] = (i8)(j >= n1[sd] ? 1 : 0);
                             cand_row[flat + j] = r * 2 + chain;
                         }
+                    }
+                    if (fill)  // 1: full, 2: groups only (lazy)
                         groups[ng] = Group{r, chain, mode, seg, h, flat, m,
                                            (i64)n1[sd] - 1, (i64)(rv % (u32)m)};
-                    }
                     flat += m;
                     ++ng;
                 }
@@ -198,6 +199,38 @@ i64 bt_build_candidates(
     if (group_offsets) group_offsets[B] = ng;
     *out_ngroups = ng;
     return flat;
+}
+
+// Lazily materialize the candidate arrays of a SUBSET of groups into a
+// compact buffer (the repeat-heavy genomes make eager full enumeration
+// prohibitively large; waves only ever evaluate a fraction).
+// pass 0: return total compact size.  pass 1: fill cand arrays and write
+// out_off[gi] = base + compact offset for each selected group.
+i64 bt_fill_groups(
+    const Group* groups, const i64* sel, i64 n_sel,
+    i32 S, const u32* seedval,
+    const i64* starts, const i32* n1, const u32* locs,
+    i32 pass, i64 base,
+    i32* cand_loc, i8* cand_plane, i32* cand_row,
+    i64* out_off)
+{
+    i64 cur = 0;
+    for (i64 k = 0; k < n_sel; ++k) {
+        i64 gi = sel[k];
+        const Group& g = groups[gi];
+        if (pass == 1) {
+            u32 sd = seedval[((i64)g.read * 2 + g.chain) * S + g.h];
+            const u32* lp = locs + starts[sd];
+            for (i64 j = 0; j < g.m; ++j) {
+                cand_loc[cur + j] = (i32)((i64)lp[j] - g.h);
+                cand_plane[cur + j] = (i8)(j >= n1[sd] ? 1 : 0);
+                cand_row[cur + j] = (i32)(g.read * 2 + g.chain);
+            }
+            out_off[gi] = base + cur;
+        }
+        cur += g.m;
+    }
+    return cur;
 }
 
 // ---- scan-state machinery shared by the SE and PE replays ----------------
@@ -216,6 +249,7 @@ struct H { i32 chr, loc, gsz, gpos; };
 struct ScanState {
     const RefCtx* cx;
     const Group* groups;
+    const i64* counts_off = nullptr;  // logical group -> compact buffer base
     i64 g_lo, g_hi;
     i32 L, rms, snp_thres, segnum;
     std::vector<H> buckets[2][MAXSNPS + 1];
@@ -305,9 +339,10 @@ struct ScanState {
         for (i64 gi = g_lo; gi < g_hi; ++gi) {
             const Group& g = groups[gi];
             if (g.mode != mode) continue;
+            i64 cbase = counts_off ? counts_off[gi] : g.start;
             i64 m = g.m, jj = g.jj0;
             for (i64 it = 0; it < m; ++it) {
-                i64 ci = g.start + jj;
+                i64 ci = cbase + jj;
                 int plane = jj > g.mc ? 1 : 0;
                 i32 cnt = cx->counts_dev[ci];
                 if (cnt <= snp_thres) {
@@ -395,6 +430,7 @@ i64 bt_replay_se(
     i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
     i32 mode_limit,             // scan only modes < limit; reads that would
                                 // continue past it report stratum -2
+    const i64* counts_off,      // nullable: lazy compact-buffer offsets
     // outputs
     i32* out_stratum, i32* out_n0, i32* out_n1,
     i64 hit_cap,
@@ -412,6 +448,7 @@ i64 bt_replay_se(
         if (filtered[r]) { out_stratum[r] = -1; continue; }
         sc.init(&cx, groups, group_offsets[r], group_offsets[r + 1],
                 map_len[r], read_max_snp[r], seedseg[r]);
+        sc.counts_off = counts_off;
         // RunAlign stratum loop, truncated at mode_limit for the first wave
         bool resolved = true;
         {
