@@ -129,8 +129,24 @@ class SingleEndAligner:
                           and not params.rrbs_flag)
         self.native = (NativeBatch(params, index, ref)
                        if use_native else None)
+        self.formatter = None
+        if self.native is not None and not params.rrbs_flag:
+            from ..native import NativeFormatter
+            self.formatter = NativeFormatter(params, ref)
 
     # -- two-phase API for the overlapped pipeline -----------------------
+    def stats(self):
+        """(aligned, unique, multiple) merged across the Python emitter and
+        the native formatter."""
+        e = self.emitter
+        a, u, m = e.n_aligned, e.n_unique, e.n_multiple
+        if self.formatter is not None:
+            c = self.formatter.counters
+            a += int(c[0])
+            u += int(c[1])
+            m += int(c[2])
+        return a, u, m
+
     # Wave policy: evaluate every stratum's candidates in one device call
     # while the total volume is small.  On candidate-heavy inputs (repetitive
     # genomes: 10^4-10^5 candidates/read) climb the strata ladder instead —
@@ -280,6 +296,9 @@ class SingleEndAligner:
             return ReadResult(filtered=False, stratum=int(stratum[i]),
                               nhits=b - a, hits0=hits[:k0], hits1=hits[k0:])
 
+        if self.formatter is not None and len(waves) == 1:
+            # counters accumulate inside the native formatter; stats() merges
+            return self.formatter.format(enc, waves[0][1])
         out: List[str] = []
         for i, read in enumerate(enc.reads):
             res = None
@@ -314,9 +333,8 @@ class ThreadedRunner:
         return self.pool.submit(al.align_batch, reads)
 
     def counters(self):
-        return (sum(a.emitter.n_aligned for a in self.aligners),
-                sum(a.emitter.n_unique for a in self.aligners),
-                sum(a.emitter.n_multiple for a in self.aligners))
+        totals = [a.stats() for a in self.aligners]
+        return tuple(sum(t[i] for t in totals) for i in range(3))
 
     def shutdown(self):
         self.pool.shutdown()
@@ -387,7 +405,11 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
         if state is None:
             break
     reader.close()
-    e = aligner.emitter
+    n_al, n_un, n_mu = aligner.stats()
+
+    class _E2:
+        n_aligned, n_unique, n_multiple = n_al, n_un, n_mu
+    e = _E2
     n_total = max(reader.index - params.read_start + 1, 1)
     log(f"total reads: {reader.index - params.read_start + 1} \t"
         f"total time: {time.time()-t0:.0f} secs")

@@ -46,6 +46,7 @@ def get_lib():
     lib.bt_replay_se.restype = ctypes.c_int64
     lib.bt_replay_pe.restype = ctypes.c_int64
     lib.bt_encode_batch.restype = ctypes.c_int64
+    lib.bt_format_se.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -356,3 +357,77 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
             return out_paired, out_pair_cnt, pair_data, pair_offsets, ends
         pair_cap *= 4
         hit_cap *= 4
+
+
+class NativeFormatter:
+    """C++ SE SAM formatting (bt_format_se)."""
+
+    def __init__(self, params, ref):
+        self.p = params
+        self.ref = ref
+        names = [t.name for t in ref.titles]
+        self.title_buf = np.frombuffer("".join(names).encode("latin1"),
+                                       np.uint8).copy()
+        self.title_off = np.zeros(len(names) + 1, np.int64)
+        np.cumsum([len(n) for n in names], out=self.title_off[1:])
+        self.anchors = ref.ref_anchor.astype(np.int64)
+        self.useful = np.frombuffer(
+            params.rule.useful_nt.encode("latin1"), np.uint8).copy()
+        from ..config import REV_CHAR
+        self.rev_tab = REV_CHAR.copy()
+        self.counters = np.zeros(3, np.int64)
+
+    def format(self, enc, res):
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = res
+        names = "".join(r.name for r in enc.reads)
+        seqs = "".join(r.seq for r in enc.reads)
+        quals = "".join(r.qual for r in enc.reads)
+        name_off = np.zeros(B + 1, np.int64)
+        np.cumsum([len(r.name) for r in enc.reads], out=name_off[1:])
+        seq_off = np.zeros(B + 1, np.int64)
+        np.cumsum([len(r.seq) for r in enc.reads], out=seq_off[1:])
+        qual_off = np.zeros(B + 1, np.int64)
+        np.cumsum([len(r.qual) for r in enc.reads], out=qual_off[1:])
+        nb = np.frombuffer(names.encode("latin1"), np.uint8)
+        sb = np.frombuffer(seqs.encode("latin1"), np.uint8)
+        qb = np.frombuffer(quals.encode("latin1"), np.uint8)
+        ridx = np.array([r.index for r in enc.reads], np.uint32)
+        rset = np.array([r.readset for r in enc.reads], np.int32)
+        cap = max(len(seqs) * 4 + B * 96, 1 << 20)
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = lib.bt_format_se(
+                ctypes.c_int32(B),
+                _p(nb, ctypes.c_uint8), _p(name_off, ctypes.c_int64),
+                _p(sb, ctypes.c_uint8), _p(seq_off, ctypes.c_int64),
+                _p(qb, ctypes.c_uint8), _p(qual_off, ctypes.c_int64),
+                _p(enc.map_len, ctypes.c_int32), _p(ridx, ctypes.c_uint32),
+                _p(rset, ctypes.c_int32),
+                _p(np.ascontiguousarray(stratum, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(n0, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(n1, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(hchr, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(hloc, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(hgsz, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(hgpos, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(hoff, np.int64), ctypes.c_int64),
+                _p(self.title_buf, ctypes.c_uint8),
+                _p(self.title_off, ctypes.c_int64),
+                ctypes.c_int32(len(self.ref.titles)),
+                self.ref.ref32[0].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint32)),
+                _p(self.anchors, ctypes.c_int64),
+                _p(self.useful, ctypes.c_uint8),
+                _p(self.rev_tab, ctypes.c_uint8),
+                ctypes.c_uint32(p.randseed),
+                ctypes.c_int32(p.report_repeat_hits),
+                ctypes.c_int32(1 if p.out_unmap else 0),
+                ctypes.c_int32(1 if p.out_ref else 0),
+                _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
+                _p(self.counters, ctypes.c_int64))
+            if n >= 0:
+                return out[:n].tobytes().decode("latin1")
+            cap = -n + 1024

@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <unordered_set>
 #include <thread>
+#include <cstdio>
 
 using u8 = uint8_t;
 using i8 = int8_t;
@@ -744,3 +745,130 @@ i64 bt_encode_batch(
 }
 
 }  // extern "C"
+// --------------------------------------------------------------------------
+// SE SAM record formatting (s_OutHit + StringAlign dispatch,
+// ref: align.cpp:583-669).  Consumes the replay's best-stratum buckets and
+// writes final SAM text into one buffer.  Returns bytes written, or
+// -(needed) if cap is too small.  counters: [aligned, unique, multiple].
+extern "C" i64 bt_format_se(
+    i32 B,
+    const u8* names, const i64* name_off,   // [B+1] concatenated
+    const u8* seqs, const i64* seq_off,
+    const u8* quals, const i64* qual_off,
+    const i32* map_len, const u32* read_index, const i32* readset,
+    const i32* stratum, const i32* n0, const i32* n1v,
+    const i32* hchr, const i32* hloc, const i32* hgsz, const i32* hgpos,
+    const i64* hoff,
+    const u8* title_names, const i64* title_off, i32 n_titles,
+    const u32* ref32_fwd, const i64* anchors,   // for -R XR context
+    const u8* useful_nt,                        // 8 chars
+    const u8* rev_char_tab,                     // 256
+    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    u8* out, i64 cap, i64* counters)
+{
+    i64 w = 0;
+    i64 aligned = 0, unique = 0, multiple = 0;
+    auto put = [&](const char* s, i64 n) {
+        if (w + n <= cap) memcpy(out + w, s, n);
+        w += n;
+    };
+    auto put_str = [&](const u8* s, i64 n) { put((const char*)s, n); };
+    char tmp[64];
+    auto put_int = [&](i64 v) { int n = snprintf(tmp, 64, "%lld", (long long)v); put(tmp, n); };
+    auto put_ch = [&](char c) { if (w < cap) out[w] = c; ++w; };
+
+    for (i32 r = 0; r < B; ++r) {
+        const u8* name = names + name_off[r];
+        i64 name_n = name_off[r + 1] - name_off[r];
+        const u8* seq = seqs + seq_off[r];
+        i64 seq_n = seq_off[r + 1] - seq_off[r];
+        const u8* qual = quals + qual_off[r];
+        i64 qual_n = qual_off[r + 1] - qual_off[r];
+        i32 L = map_len[r];
+        i32 st = stratum[r];
+        i64 a = hoff[r], b = hoff[r + 1];
+        i32 total = (i32)(b - a);
+        i32 k0 = n0[r];
+
+        auto out_unmapped = [&](int flagbits) {
+            if (!out_unmap) return;
+            i32 flag = 0x40 * readset[r] | flagbits;
+            put_str(name, name_n); put_ch('\t'); put_int(flag);
+            put("\t*\t0\t0\t*\t*\t0\t0\t", 15);
+            put_str(seq, seq_n); put_ch('\t'); put_str(qual, qual_n);
+            put_ch('\n');
+        };
+        auto out_hit = [&](int chain, i32 n, i64 hidx) {
+            i32 chr_ = hchr[hidx], loc = hloc[hidx];
+            i32 gsz = hgsz[hidx], gpos = hgpos[hidx];
+            int rev = chain ^ (chr_ & 1);
+            i32 flag = 0x40 * readset[r];
+            if (n != 1) flag |= 0x100;
+            if (rev) flag |= 0x010;
+            put_str(name, name_n); put_ch('\t'); put_int(flag); put_ch('\t');
+            put_str(title_names + title_off[chr_ >> 1],
+                    title_off[(chr_ >> 1) + 1] - title_off[chr_ >> 1]);
+            put_ch('\t'); put_int((i64)loc + 1); put("\t255\t", 5);
+            if (gsz == 0) { put_int(L); put_ch('M'); }
+            else if (gsz > 0) {
+                put_int(gpos); put_ch('M'); put_int(gsz); put_ch('D');
+                put_int(L - gpos); put_ch('M');
+            } else {
+                put_int(gpos); put_ch('M'); put_int(-gsz); put_ch('I');
+                put_int(L - gpos + gsz); put_ch('M');
+            }
+            put("\t*\t0\t0\t", 7);
+            if (rev) {
+                for (i64 i = seq_n - 1; i >= 0; --i) put_ch((char)rev_char_tab[seq[i]]);
+                put_ch('\t');
+                for (i64 i = qual_n - 1; i >= 0; --i) put_ch((char)qual[i]);
+            } else {
+                put_str(seq, seq_n); put_ch('\t'); put_str(qual, qual_n);
+            }
+            put("\tNM:i:", 6); put_int(st);
+            if (out_ref) {
+                put("\tXR:Z:", 6);
+                i64 base0 = anchors[chr_ >> 1];
+                for (int ii = 2; ii > 0; --ii) {
+                    if (loc < ii) continue;
+                    i64 pp = base0 + loc - ii;
+                    u32 code = (ref32_fwd[pp >> 4] >> (30 - (pp & 15) * 2)) & 3;
+                    put_ch((char)useful_nt[code + 4]);
+                }
+                for (i64 ii = 0; ii < (i64)L + 2; ++ii) {
+                    i64 pp = base0 + loc + ii;
+                    u32 code = (ref32_fwd[pp >> 4] >> (30 - (pp & 15) * 2)) & 3;
+                    char c = (char)useful_nt[code];
+                    if (ii >= L) c = (char)(c + 32);  // lowercase flanks
+                    put_ch(c);
+                }
+            }
+            put("\tZS:Z:", 6);
+            put_ch(chr_ & 1 ? '-' : '+');
+            put_ch(chain ? '-' : '+');
+            put_ch('\n');
+        };
+
+        if (st < 0) { out_unmapped(0x204); continue; }     // QC
+        if (total == 0) { out_unmapped(0x4); continue; }   // NM
+        if (total == 1) {
+            ++aligned; ++unique;
+            out_hit(k0 ? 0 : 1, 1, a);
+            continue;
+        }
+        ++multiple;
+        if (report_repeat_hits == 1) {
+            ++aligned;
+            u32 j = myrand_hash(read_index[r], randseed) % (u32)total;
+            out_hit(j < (u32)k0 ? 0 : 1, total, a + j);
+        } else if (report_repeat_hits == 2) {
+            ++aligned;
+            for (i64 j = a; j < b; ++j)
+                out_hit(j - a < k0 ? 0 : 1, total, j);
+        } else {
+            out_unmapped(0x4);
+        }
+    }
+    counters[0] += aligned; counters[1] += unique; counters[2] += multiple;
+    return w <= cap ? w : -w;
+}
