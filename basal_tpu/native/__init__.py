@@ -164,27 +164,23 @@ class NativeBatch:
 
     def build_groups(self, enc, read_indices):
         """Lazy variant: group table + per-read offsets only, candidate
-        arrays materialized later per wave via fill_groups."""
+        arrays materialized later per wave via fill_groups.  Single pass —
+        the group count is bounded by sum(seedseg) * 2 chains * I probes."""
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
         args_common, sv = self._common_args(enc, read_indices)
         ng = ctypes.c_int64(0)
-        state0 = self.state.copy()
-        total = lib.bt_build_candidates(
-            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(0),
-            None, None, None, None, None, ctypes.byref(ng))
-        self.state[:] = state0
-        NG = int(ng.value)
-        groups = np.empty((NG, 9), np.int64)
+        ub = int(2 * p.index_interval * int(enc.seedseg_num.sum())) + 1
+        groups = np.empty((ub, 9), np.int64)
         goff = np.empty(B + 1, np.int64)
-        lib.bt_build_candidates(
+        total = lib.bt_build_candidates(
             *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(2),
             None, None, None,
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
             ctypes.byref(ng))
         self._last_sv = sv  # keep alive + reuse for fill_groups
-        return groups, goff, int(total)
+        return groups[:int(ng.value)], goff, int(total)
 
     def fill_groups(self, enc, groups, sel, off, base=0):
         """Materialize candidate arrays for the selected group indices,
