@@ -41,10 +41,13 @@ class DeviceContext:
     """Holds the packed reference on device and invokes the extend kernel."""
 
     def __init__(self, ref: PackedReference, params: AlignParams):
+        import os
         self.params = params
         self.nw = ref.ref32.shape[1]
         self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))
         self.mode = _mode_name(params)
+        # opt-in Pallas count core (ungapped); see ops/extend_pallas.py
+        self.use_pallas = bool(os.environ.get("BASAL_TPU_PALLAS"))
 
     def extend_async(self, enc: EncodedBatch, loc, plane, row):
         """Dispatch the extension kernel; returns (C, device result) without
@@ -90,8 +93,15 @@ class DeviceContext:
                 padr1(np.repeat(enc.map_len, 2)).astype(np.int32)
                 if need_len else dummy1),
         )
-        res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
-                            nw=self.nw)
+        if self.use_pallas and p.gap == 0:
+            from ..ops.extend_pallas import extend_counts_pallas
+            res = extend_counts_pallas(
+                args["ref32"], args["loc"], args["plane"], args["row"],
+                args["base"], args["valid"], args["mread"], args["ncnt"],
+                mode=self.mode, W=enc.W, nw=self.nw)
+        else:
+            res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
+                                nw=self.nw)
         return C, res
 
     def fetch(self, C, res):

@@ -10,9 +10,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-A32 = jnp.uint32(0xAAAAAAAA)
-FIVES = jnp.uint32(0x55555555)
+# numpy scalars become jaxpr literals (not captured consts, so usable inside
+# pallas kernels) and carry the exact uint32 dtype
+A32 = np.uint32(0xAAAAAAAA)
+FIVES = np.uint32(0x55555555)
 
 
 def xt32(tt: jax.Array) -> jax.Array:

@@ -1,0 +1,57 @@
+"""Pallas count-core kernel == XLA extend_kernel (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("mode,rule,nt3", [
+    ("oneway", "C:T", False),
+    ("multiway", "A:CGT", False),
+    ("nt3", "C:T", True),
+])
+def test_pallas_counts_match_xla(tmp_path, rng, mode, rule, nt3):
+    import jax.numpy as jnp
+    from basal_tpu.config import AlignParams
+    from basal_tpu.index.reference import load_reference
+    from basal_tpu.index.seedindex import build_index
+    from basal_tpu.reads.encode import encode_batch
+    from basal_tpu.reads.io import ReadRec
+    from basal_tpu.align.candidates import SeedScheduler, build_candidates
+    from basal_tpu.align.rng import MyRand
+    from basal_tpu.ops.extend import extend_kernel
+    from basal_tpu.ops.extend_pallas import TILE_C, extend_counts_pallas
+    from conftest import make_ref, random_genome
+
+    g = random_genome(rng, 8000)
+    make_ref(tmp_path / "ref.fa", [("c1", g)])
+    p = AlignParams(conversion=rule, randseed=1, nt3=nt3, chains=1)
+    ref = load_reference(str(tmp_path / "ref.fa"), p)
+    idx = build_index(ref, p)
+    reads = []
+    frm, tos = rule.split(":")
+    for i in range(64):
+        pos = rng.randrange(0, len(g) - 90)
+        s = "".join(rng.choice(tos) if (c == frm and rng.random() < 0.5) else c
+                    for c in g[pos:pos + 90])
+        reads.append(ReadRec(i, 0, f"r{i}", s, "I" * 90))
+    enc = encode_batch(p, reads)
+    table = build_candidates(p, idx, enc, SeedScheduler(p, idx, MyRand(1)))
+    C = table.loc.size
+    assert C > 50
+    pad = -C % TILE_C
+    loc = np.pad(table.loc, (0, pad), constant_values=12800).astype(np.int32)
+    plane = np.pad(table.plane, (0, pad)).astype(np.int32)
+    row = np.pad(table.row, (0, pad)).astype(np.int32)
+    nw = ref.ref32.shape[1]
+    args = (jnp.asarray(ref.ref32.reshape(-1)), jnp.asarray(loc),
+            jnp.asarray(plane), jnp.asarray(row),
+            jnp.asarray(enc.base), jnp.asarray(enc.valid),
+            jnp.asarray(enc.mread),
+            jnp.asarray(np.repeat(enc.n_count, 2).astype(np.int32)))
+    want = extend_kernel(args[0], args[1], args[2], args[3], args[4], args[5],
+                         args[6], jnp.asarray(enc.lenmask), args[7],
+                         jnp.asarray(np.repeat(enc.map_len, 2).astype(np.int32)),
+                         mode=mode, gap=0, W=enc.W, nw=nw)
+    got = extend_counts_pallas(*args, mode=mode, W=enc.W, nw=nw,
+                               interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
