@@ -52,7 +52,13 @@ class DeviceContext:
     def extend_async(self, enc: EncodedBatch, loc, plane, row):
         """Dispatch the extension kernel; returns (C, device result) without
         blocking, so host work for the next batch can overlap the device +
-        transfer time (async dispatch)."""
+        transfer time (async dispatch).
+
+        Upload minimization (the remote-TPU tunnel is bandwidth-limited):
+        only rows that actually have candidates ship their planes, the
+        per-candidate row ids become row offsets (candidates are grouped by
+        row), and mode-unused planes become dummies.
+        """
         from ..ops.extend import extend_kernel
         p = self.params
         C = loc.shape[0]
@@ -62,20 +68,27 @@ class DeviceContext:
         def padc(a, fill=0):
             return np.pad(a, (0, pad), constant_values=fill)
 
-        # pad read rows to a pow2 bucket too — every distinct (C, R, W)
-        # triple would otherwise trigger a fresh XLA compile (expensive
-        # through the remote-TPU tunnel)
-        R = enc.base.shape[0]
-        rpad = max(512, 1 << (R - 1).bit_length()) - R
+        # active-row compaction: `row` is non-decreasing (candidates are
+        # emitted read-major; all fill paths preserve this)
+        assert row.size == 0 or (np.diff(row) >= 0).all(), \
+            "candidate rows must be non-decreasing for row-offset upload"
+        used, first_idx = np.unique(row, return_index=True)
+        row_off = np.empty(len(used) + 1, np.int64)
+        row_off[:-1] = first_idx
+        row_off[-1] = C
+        U = len(used)
+        upad = max(512, 1 << max(U - 1, 1).bit_length()) - U
 
         def padr(a):
-            return np.pad(a, ((0, rpad), (0, 0))) if rpad else a
+            a = a[used]
+            return np.pad(a, ((0, upad), (0, 0))) if upad else a
 
         def padr1(a):
-            return np.pad(a, (0, rpad)) if rpad else a
+            a = a[used]
+            return np.pad(a, (0, upad)) if upad else a
 
-        # planes unused by the current mode become 1-row dummies (gathers of
-        # them are dead code the compiler removes; saves tunnel bandwidth)
+        roff = np.pad(row_off, (0, upad), constant_values=C).astype(np.int32)
+
         need_mread = self.mode == "multiway"
         need_len = p.gap > 0
         dummy = np.zeros((1, enc.W), np.uint32)
@@ -84,11 +97,12 @@ class DeviceContext:
             ref32=self.ref32_dev,
             loc=jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
             plane=jnp.asarray(padc(plane).astype(np.uint8)),
-            row=jnp.asarray(padc(row), dtype=jnp.int32),
+            row_off=jnp.asarray(roff),
             base=jnp.asarray(padr(enc.base)), valid=jnp.asarray(padr(enc.valid)),
             mread=jnp.asarray(padr(enc.mread) if need_mread else dummy),
             lenmask=jnp.asarray(padr(enc.lenmask) if need_len else dummy),
-            ncnt=jnp.asarray(padr1(np.repeat(enc.n_count, 2)), dtype=jnp.int32),
+            ncnt=jnp.asarray(padr1(np.repeat(enc.n_count, 2)),
+                             dtype=jnp.int32),
             readlen=jnp.asarray(
                 padr1(np.repeat(enc.map_len, 2)).astype(np.int32)
                 if need_len else dummy1),
@@ -96,7 +110,7 @@ class DeviceContext:
         if self.use_pallas and p.gap == 0:
             from ..ops.extend_pallas import extend_counts_pallas
             res = extend_counts_pallas(
-                args["ref32"], args["loc"], args["plane"], args["row"],
+                args["ref32"], args["loc"], args["plane"], args["row_off"],
                 args["base"], args["valid"], args["mread"], args["ncnt"],
                 mode=self.mode, W=enc.W, nw=self.nw)
         else:

@@ -77,22 +77,27 @@ def _first_positions(flagw: jax.Array, fill: jax.Array, W: int,
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw"))
-def extend_kernel(ref32, loc, plane, row, base, valid, mread, lenmask,
+def extend_kernel(ref32, loc, plane, row_off, base, valid, mread, lenmask,
                   ncnt, readlen, *, mode: str, gap: int, W: int, nw: int):
     """Evaluate C candidates against the packed reference.
 
     ref32: u32 [2*nw] (fwd plane then RC plane, each nw words)
     loc:   i32 [C] concatenated base coords (alignment start)
-    plane: i32 [C] ref strand plane (0 fwd / 1 RC)
-    row:   i32 [C] read-plane row = encoded (read, chain)
-    base/valid/mread/lenmask: u32 [R, W] read planes
-    ncnt:  i32 [R] N-count additive term (-N flag; align.h:120)
-    readlen: i32 [R] mapped read length
+    plane: u8/i32 [C] ref strand plane (0 fwd / 1 RC)
+    row_off: i32 [U+1] — candidates are grouped by read row; candidate i
+             belongs to active row searchsorted(row_off, i, 'right')-1.
+             (Uploading offsets instead of a per-candidate row id, and only
+             the rows that actually have candidates, cuts tunnel bytes.)
+    base/valid/mread/lenmask: u32 [U, W] active-row read planes
+    ncnt:  i32 [U] N-count additive term (-N flag; align.h:120)
+    readlen: i32 [U] mapped read length
 
-    Returns counts i32[C] and, when gap>0, (pos0 i32[C, K],
-    pos1 i32[C, 2*gap, K]).
+    Returns counts u8[C] and, when gap>0, (pos0 i16[C, K],
+    pos1 i16[C, 2*gap, K]).
     """
     C = loc.shape[0]
+    row = (jnp.searchsorted(row_off, jnp.arange(C, dtype=row_off.dtype),
+                            side="right") - 1).astype(jnp.int32)
     wg = (W + 3) if gap > 0 else (W + 1)
     k0 = (loc >> 4) - (1 if gap > 0 else 0)
     sh2 = ((loc & 15) << 1).astype(jnp.int32)

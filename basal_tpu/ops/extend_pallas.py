@@ -60,8 +60,8 @@ def _count_kernel(mode: str, W: int, r_ref, sh2_ref, base_ref, valid_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("mode", "W", "nw", "interpret"))
-def extend_counts_pallas(ref32, loc, plane, row, base, valid, mread, ncnt,
-                         *, mode: str, W: int, nw: int,
+def extend_counts_pallas(ref32, loc, plane, row_off, base, valid, mread,
+                         ncnt, *, mode: str, W: int, nw: int,
                          interpret: bool = False):
     """Ungapped batched extension with the Pallas count core.
 
@@ -69,6 +69,8 @@ def extend_counts_pallas(ref32, loc, plane, row, base, valid, mread, ncnt,
     C must be a multiple of TILE_C (the pipeline pads to pow2 >= 256).
     """
     C = loc.shape[0]
+    row = (jnp.searchsorted(row_off, jnp.arange(C, dtype=row_off.dtype),
+                            side="right") - 1).astype(jnp.int32)
     k0 = loc >> 4
     sh2 = ((loc & 15) << 1).astype(jnp.uint32)[:, None]
     gidx = plane.astype(jnp.int32) * jnp.int32(nw) + k0

@@ -35,6 +35,21 @@ from ..ops.extend import K_POS, extend_kernel
 BIG = np.int32(1 << 30)
 
 
+class _CompactEnc:
+    """Active-row view of an EncodedBatch's planes (see
+    DeviceContext.extend_async's compaction)."""
+
+    def __init__(self, enc, used):
+        self.W = enc.W
+        self.base = enc.base[used]
+        self.valid = enc.valid[used]
+        self.mread = enc.mread[used]
+        self.lenmask = enc.lenmask[used]
+        rd = used >> 1
+        self.n_count = enc.n_count[rd]
+        self.map_len = enc.map_len[rd]
+
+
 def make_mesh(n_dp: int, n_rs: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()[:n_dp * n_rs]
     arr = np.asarray(devices).reshape(n_dp, n_rs)
@@ -67,10 +82,15 @@ def _sharded_extend(ref_shards, shard_start, loc, plane, row, base, valid,
     dp and replicated over rs; ref shards live one per rs index."""
     mesh = mesh_def
 
-    def body(ref_s, start_s, loc_s, plane_s, row_s, base_s, valid_s, mread_s,
+    def body(ref_s, start_s, loc_s, plane_s, roff_s, base_s, valid_s, mread_s,
              lenmask_s, ncnt_s, readlen_s):
         ref_s = ref_s[0]          # [1, 2, w] block -> [2, w]
         start = start_s[0]
+        # row offsets index the GLOBAL candidate order; rebase to this dp
+        # shard's slice so extend_kernel's searchsorted sees local indices
+        c_local = loc_s.shape[0]
+        shard_lo = jax.lax.axis_index("dp").astype(roff_s.dtype) * c_local
+        roff_local = jnp.clip(roff_s - shard_lo, 0, c_local)
         halo_w = ref_s.shape[-1] - shard_w
         k0 = (loc_s >> 4) - (1 if gap > 0 else 0)
         wg = (W + 3) if gap > 0 else (W + 1)
@@ -79,8 +99,8 @@ def _sharded_extend(ref_shards, shard_start, loc, plane, row, base, valid,
         loc_local = jnp.where(in_shard, loc_s - start * 16, 12800)
         nw_local = ref_s.shape[-1]
         res = extend_kernel(
-            ref_s.reshape(-1), loc_local, plane_s, row_s, base_s, valid_s,
-            mread_s, lenmask_s, ncnt_s, readlen_s,
+            ref_s.reshape(-1), loc_local, plane_s, roff_local, base_s,
+            valid_s, mread_s, lenmask_s, ncnt_s, readlen_s,
             mode=mode, gap=gap, W=W, nw=nw_local)
         if gap > 0:
             counts, pos0, pos1 = res
@@ -100,7 +120,7 @@ def _sharded_extend(ref_shards, shard_start, loc, plane, row, base, valid,
     out_spec = (P("dp"),) if gap == 0 else (P("dp"), P("dp"), P("dp"))
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P("rs", None, None), P("rs"), spec_c, spec_c, spec_c,
+        in_specs=(P("rs", None, None), P("rs"), spec_c, spec_c, spec_1d,
                   spec_2d, spec_2d, spec_2d, spec_2d, spec_1d, spec_1d),
         out_specs=out_spec,
     )
@@ -138,17 +158,23 @@ class ShardedDeviceContext:
         def padc(a, fill=0):
             return np.pad(a, (0, pad), constant_values=fill)
 
+        # row-offset upload (see DeviceContext.extend_async)
+        used, first_idx = np.unique(row, return_index=True)
+        row_off = np.empty(len(used) + 1, np.int64)
+        row_off[:-1] = first_idx
+        row_off[-1] = C
+        enc = _CompactEnc(enc, used)
         csh = NamedSharding(self.mesh, P("dp"))
         rsh = NamedSharding(self.mesh, P())
         res = _sharded_extend(
             self.ref_dev, self.start_dev,
             jax.device_put(padc(loc, 12800).astype(np.int32), csh),
             jax.device_put(padc(plane).astype(np.int32), csh),
-            jax.device_put(padc(row).astype(np.int32), csh),
+            jax.device_put(row_off.astype(np.int32), rsh),
             jax.device_put(enc.base, rsh), jax.device_put(enc.valid, rsh),
             jax.device_put(enc.mread, rsh), jax.device_put(enc.lenmask, rsh),
-            jax.device_put(np.repeat(enc.n_count, 2).astype(np.int32), rsh),
-            jax.device_put(np.repeat(enc.map_len, 2).astype(np.int32), rsh),
+            jax.device_put(enc.n_count.astype(np.int32), rsh),
+            jax.device_put(enc.map_len.astype(np.int32), rsh),
             mode=self.mode, gap=p.gap, W=enc.W, shard_w=self.shard_w,
             mesh_def=self.mesh)
         if p.gap > 0:

@@ -96,6 +96,15 @@ def main():
     ref_fa, reads_fq = make_data(work)
     log(f"data: {GENOME} bp genome, {N_READS} reads")
 
+    # time the reference FIRST, on a quiet machine (our TPU process sitting
+    # idle in claim-wait was previously inflating its wall time)
+    oracle = ensure_oracle()
+    orps = t_full = t_start = None
+    if oracle:
+        orps, t_full, t_start = time_oracle(oracle, ref_fa, reads_fq, work)
+        log(f"oracle single-thread: {orps:.0f} reads/s "
+            f"(full {t_full:.1f}s, startup {t_start:.1f}s)")
+
     from basal_tpu.config import AlignParams
     from basal_tpu.index.reference import load_reference
     from basal_tpu.index.seedindex import build_index
@@ -145,14 +154,8 @@ def main():
         f"({WORKERS} host workers)")
 
     extra = {}
-    oracle = ensure_oracle()
     vs = None
     if oracle:
-        # stats counters for equality come from all aligners; merge not needed
-        # for SAM comparison (records carried in sam_parts)
-        orps, t_full, t_start = time_oracle(oracle, ref_fa, reads_fq, work)
-        log(f"oracle single-thread: {orps:.0f} reads/s "
-            f"(full {t_full:.1f}s, startup {t_start:.1f}s)")
         vs = ours_rps / orps
         # SAM equality on the full run
         from basal_tpu.align.sam import sam_header

@@ -41,16 +41,21 @@ def test_pallas_counts_match_xla(tmp_path, rng, mode, rule, nt3):
     pad = -C % TILE_C
     loc = np.pad(table.loc, (0, pad), constant_values=12800).astype(np.int32)
     plane = np.pad(table.plane, (0, pad)).astype(np.int32)
-    row = np.pad(table.row, (0, pad)).astype(np.int32)
+    row = table.row
+    assert (np.diff(row) >= 0).all()
+    used, first_idx = np.unique(row, return_index=True)
+    # planes indexed by compact rows; build offsets incl. final bound
+    row_off = np.concatenate([first_idx, [C + pad]]).astype(np.int32)
     nw = ref.ref32.shape[1]
     args = (jnp.asarray(ref.ref32.reshape(-1)), jnp.asarray(loc),
-            jnp.asarray(plane), jnp.asarray(row),
-            jnp.asarray(enc.base), jnp.asarray(enc.valid),
-            jnp.asarray(enc.mread),
-            jnp.asarray(np.repeat(enc.n_count, 2).astype(np.int32)))
+            jnp.asarray(plane), jnp.asarray(row_off),
+            jnp.asarray(enc.base[used]), jnp.asarray(enc.valid[used]),
+            jnp.asarray(enc.mread[used]),
+            jnp.asarray(np.repeat(enc.n_count, 2)[used].astype(np.int32)))
     want = extend_kernel(args[0], args[1], args[2], args[3], args[4], args[5],
-                         args[6], jnp.asarray(enc.lenmask), args[7],
-                         jnp.asarray(np.repeat(enc.map_len, 2).astype(np.int32)),
+                         args[6], jnp.asarray(enc.lenmask[used]), args[7],
+                         jnp.asarray(
+                             np.repeat(enc.map_len, 2)[used].astype(np.int32)),
                          mode=mode, gap=0, W=enc.W, nw=nw)
     got = extend_counts_pallas(*args, mode=mode, W=enc.W, nw=nw,
                                interpret=True)
