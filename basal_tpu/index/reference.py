@@ -46,23 +46,31 @@ def open_maybe_gz(path: str):
 
 def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (name, byte-array of sequence chars).  Name is the first
-    whitespace-delimited token after '>' (refbase.cpp:23 ``fin>>_name``)."""
-    name = None
-    chunks: List[bytes] = []
+    whitespace-delimited token after '>' (refbase.cpp:23 ``fin>>_name``).
+
+    Whole-file numpy parse (newline strip via boolean mask) — the reference
+    streams line by line; at 50 Mbp+ that costs tens of seconds in Python."""
     with open_maybe_gz(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith(b">"):
-                if name is not None:
-                    yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
-                name = line[1:].split()[0].decode() if len(line) > 1 else ""
-                chunks = []
-            else:
-                chunks.append(line.split()[0] if b" " in line or b"\t" in line else line)
-        if name is not None:
-            yield name, np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        data = f.read()
+    pos = 0
+    while True:
+        start = data.find(b">", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\n", start)
+        if hdr_end < 0:
+            return
+        header = data[start + 1:hdr_end]
+        name = header.split()[0].decode() if header.split() else ""
+        nxt = data.find(b">", hdr_end)
+        body = data[hdr_end + 1:nxt if nxt >= 0 else len(data)]
+        arr = np.frombuffer(body, dtype=np.uint8)
+        keep = (arr != ord("\n")) & (arr != ord("\r")) & (arr != ord(" ")) \
+            & (arr != ord("\t"))
+        yield name, arr[keep]
+        if nxt < 0:
+            return
+        pos = nxt
 
 
 def pack_codes_u32(codes: np.ndarray) -> np.ndarray:

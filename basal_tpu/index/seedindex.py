@@ -102,7 +102,16 @@ def build_index(ref: PackedReference, params: AlignParams) -> SeedIndex:
     ss = seeds_all[order]
     locs = pos_all[order].astype(np.uint32)
 
-    uk, uk_start, uc = np.unique(ss, return_index=True, return_counts=True)
+    # group boundaries from the sorted stream (np.unique would sort again)
+    if len(ss):
+        uk_start = np.concatenate(
+            [[0], np.flatnonzero(ss[1:] != ss[:-1]) + 1])
+        uk = ss[uk_start]
+        uc = np.diff(np.concatenate([uk_start, [len(ss)]]))
+    else:
+        uk_start = np.zeros(0, np.int64)
+        uk = np.zeros(0, ss.dtype)
+        uc = np.zeros(0, np.int64)
     is0 = (order < len(pos0)).astype(np.int32)
     n1_per = (np.add.reduceat(is0, uk_start) if len(ss)
               else np.zeros(0, np.int32))

@@ -22,11 +22,10 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
-N_READS = int(os.environ.get("BENCH_READS", 250_000))
-GENOME = int(os.environ.get("BENCH_GENOME", 2_000_000))
+N_READS = int(os.environ.get("BENCH_READS", 200_000))
+GENOME = int(os.environ.get("BENCH_GENOME", 50_000_000))
 READLEN = 100
-BATCH = 50_000
-WORKERS = int(os.environ.get("BENCH_WORKERS", 3))
+BATCH = 25_000
 SEED = 20260816
 
 
@@ -35,26 +34,48 @@ def log(msg):
 
 
 def make_data(d: Path):
+    """Repeat-structured genome (~45% diverged 300bp transposon-like copies)
+    — representative of the mammalian genomes/transcriptomes the GLORI/eTAM
+    headline workload maps against; pure-random references understate the
+    candidate load for any aligner."""
+    import numpy as np
     ref_p, fq_p = d / "ref.fa", d / "reads.fq"
-    stamp = d / f".stamp_{GENOME}_{N_READS}_{SEED}"
+    stamp = d / f".stamp_rep_{GENOME}_{N_READS}_{SEED}"
     if stamp.exists() and ref_p.exists() and fq_p.exists():
         return ref_p, fq_p
-    rng = random.Random(SEED)
-    g = "".join(rng.choice("ACGT") for _ in range(GENOME))
-    with open(d / "ref.fa", "w") as f:
-        f.write(">chr1\n")
-        for i in range(0, len(g), 60):
-            f.write(g[i:i + 60] + "\n")
-    with open(d / "reads.fq", "w") as f:
+    rng = np.random.default_rng(SEED)
+    NT = np.frombuffer(b"ACGT", np.uint8)
+    alu = rng.choice(NT, size=300)
+    parts = []
+    total = 0
+    while total < GENOME:
+        u = rng.choice(NT, size=int(rng.integers(300, 1200)))
+        parts.append(u)
+        total += len(u)
+        for _ in range(int(rng.integers(1, 4))):
+            cp = np.where(rng.random(300) < 0.05,
+                          rng.choice(NT, size=300), alu).astype(np.uint8)
+            parts.append(cp)
+            total += 300
+    g = np.concatenate(parts)[:GENOME]
+    with open(ref_p, "wb") as f:
+        f.write(b">chr1\n")
+        n = len(g) // 60 * 60
+        f.write(b"\n".join(g[:n].reshape(-1, 60).view("S60").ravel()) + b"\n")
+        if n < len(g):
+            f.write(g[n:].tobytes() + b"\n")
+    pos = rng.integers(0, len(g) - READLEN, N_READS)
+    reads = np.stack([g[p:p + READLEN] for p in pos])
+    conv = (reads == ord("A")) & (rng.random(reads.shape) < 0.5)
+    reads = np.where(conv, ord("G"), reads)
+    err = rng.random(reads.shape) < 0.005
+    reads = np.where(err, rng.choice(NT, size=reads.shape),
+                     reads).astype(np.uint8)
+    with open(fq_p, "wb") as f:
+        qual = b"I" * READLEN
         for i in range(N_READS):
-            pos = rng.randrange(0, len(g) - READLEN)
-            s = list(g[pos:pos + READLEN])
-            for j, c in enumerate(s):
-                if c == "A" and rng.random() < 0.5:
-                    s[j] = "G"
-                elif rng.random() < 0.005:
-                    s[j] = rng.choice("ACGT".replace(c, ""))
-            f.write(f"@r{i}\n{''.join(s)}\n+\n{'I' * READLEN}\n")
+            f.write(b"@r%d\n" % i + reads[i].tobytes() + b"\n+\n" + qual
+                    + b"\n")
     stamp.touch()
     return ref_p, fq_p
 
@@ -131,27 +152,19 @@ def main():
     t_warm = time.time() - t0
     log(f"warmup batch ({len(b)} reads): {t_warm:.1f}s")
     n_warm = len(b)
-    # steady state: -p style worker pool over uniform batches
-    from collections import deque
-    from basal_tpu.align.pipeline import ThreadedRunner
-    runner = ThreadedRunner(p, ref, idx, WORKERS)
+    # steady state: sequential batches — the remote-TPU tunnel serializes
+    # transfers, so worker threads / overlap degrade it (see docs/PERF.md)
     n_rest = 0
     t0 = time.time()
-    futures = deque()
     while True:
         b = rd.next_batch(BATCH)
-        if b:
-            futures.append(runner.submit(b))
-            n_rest += len(b)
-        while futures and (not b or len(futures) > WORKERS):
-            sam_parts.append(futures.popleft().result())
         if not b:
             break
-    runner.shutdown()
+        sam_parts.append(al.align_batch(b))
+        n_rest += len(b)
     dt = time.time() - t0
     ours_rps = n_rest / dt if n_rest else n_warm / t_warm
-    log(f"ours: {n_rest} reads in {dt:.2f}s = {ours_rps:.0f} reads/s "
-        f"({WORKERS} host workers)")
+    log(f"ours: {n_rest} reads in {dt:.2f}s = {ours_rps:.0f} reads/s")
 
     extra = {}
     vs = None
