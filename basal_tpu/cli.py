@@ -99,6 +99,23 @@ def main(argv=None):
         kw["seed_size"] = int(opts["s"])
     if "I" in opts:
         kw["index_interval"] = min(int(opts["I"]), 16)
+    # SetSeedSize recomputes min_read_size with the index_interval value at
+    # the time -s appears on the command line (argument-order dependence in
+    # the reference's mGetOptions); without -s the constructor-time value 15
+    # stands (see AlignParams.min_read_size_quirk)
+    cur_i, cur_min = 4, 15
+    for j, a in enumerate(argv):
+        if a == "-I" and j + 1 < len(argv):
+            cur_i = min(int(argv[j + 1]), 16)
+        elif a.startswith("-I="):
+            cur_i = min(int(a[3:]), 16)
+        elif a == "-s" and j + 1 < len(argv):
+            cur_min = int(argv[j + 1]) + cur_i - 1
+        elif a.startswith("-s="):
+            cur_min = int(a[3:]) + cur_i - 1
+        elif a == "-D" or a.startswith("-D="):
+            cur_i = 1
+    kw["min_read_size_quirk"] = cur_min
     if "k" in opts:
         kw["max_kmer_ratio"] = float(opts["k"])
     if "v" in opts:

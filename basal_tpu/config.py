@@ -198,6 +198,12 @@ class AlignParams:
     # RRBS / digestion-site mode (hidden -D)
     digestion_site: str = ""
     rrbs_flag: bool = False
+    # Length-filter threshold quirk: the reference's constructor calls
+    # SetSeedSize(16) BEFORE index_interval is initialized (param.cpp:26 vs
+    # :52), so with the default seed the member min_read_size ends up
+    # 16 + 0 - 1 = 15; only an explicit -s recomputes it with the live
+    # index_interval.  None -> emulate in __post_init__.
+    min_read_size_quirk: Optional[int] = None
 
     _rule: Optional[ConversionRule] = None
 
@@ -215,6 +221,10 @@ class AlignParams:
             self.index_interval = 1
         if self.index_interval > 16:
             raise ValueError("index interval exceeds max value:16")
+        if self.min_read_size_quirk is None:
+            self.min_read_size_quirk = (15 if self.seed_size == 16
+                                        else self.seed_size
+                                        + self.index_interval - 1)
         if self.nt3 and self.rule.readnt_cnt > 1:
             raise ValueError(
                 "3-nucleotide mapping approach is only valid for single convert-to base")
@@ -231,6 +241,8 @@ class AlignParams:
 
     @property
     def min_read_size(self) -> int:
+        if self.min_read_size_quirk is not None:
+            return self.min_read_size_quirk
         return self.seed_size + self.index_interval - 1
 
     @property
