@@ -49,7 +49,7 @@ class DeviceContext:
         # opt-in Pallas count core (ungapped); see ops/extend_pallas.py
         self.use_pallas = bool(os.environ.get("BASAL_TPU_PALLAS"))
 
-    def extend_async(self, enc: EncodedBatch, loc, plane, row):
+    def _extend_async_one(self, enc: EncodedBatch, loc, plane, row):
         """Dispatch the extension kernel; returns (C, device result) without
         blocking, so host work for the next batch can overlap the device +
         transfer time (async dispatch).
@@ -118,7 +118,32 @@ class DeviceContext:
                                 nw=self.nw)
         return C, res
 
-    def fetch(self, C, res):
+    # candidate-heavy batches (repetitive references) are evaluated in
+    # chunks to bound HLO temp memory on the device
+    CHUNK = 4 << 20
+
+    def extend_async(self, enc, loc, plane, row):
+        C = loc.shape[0]
+        if C <= self.CHUNK:
+            return [self._extend_async_one(enc, loc, plane, row)]
+        return [self._extend_async_one(enc, loc[i:i + self.CHUNK],
+                                       plane[i:i + self.CHUNK],
+                                       row[i:i + self.CHUNK])
+                for i in range(0, C, self.CHUNK)]
+
+    def fetch(self, handles, _res=None):
+        if _res is not None:            # legacy (C, res) call style
+            handles = [(handles, _res)]
+        outs = [self._fetch_one(C, res) for C, res in handles]
+        if len(outs) == 1:
+            return outs[0]
+        counts = np.concatenate([o[0] for o in outs])
+        if self.params.gap > 0:
+            return (counts, np.concatenate([o[1] for o in outs]),
+                    np.concatenate([o[2] for o in outs]))
+        return counts, None, None
+
+    def _fetch_one(self, C, res):
         if self.params.gap > 0:
             counts, pos0, pos1 = res
             return (np.asarray(counts)[:C].astype(np.int32),
@@ -127,7 +152,7 @@ class DeviceContext:
         return np.asarray(res)[:C].astype(np.int32), None, None
 
     def extend(self, enc: EncodedBatch, loc, plane, row):
-        return self.fetch(*self.extend_async(enc, loc, plane, row))
+        return self.fetch(self.extend_async(enc, loc, plane, row))
 
 
 class SingleEndAligner:
@@ -218,7 +243,7 @@ class SingleEndAligner:
         return handle, None
 
     def _fetch_expand(self, handle, uinv):
-        counts, pos0, pos1 = self.dev.fetch(*handle)
+        counts, pos0, pos1 = self.dev.fetch(handle)
         if uinv is not None:
             counts = counts[uinv]
             if pos0 is not None:

@@ -292,7 +292,7 @@ class PairEndAligner:
                     enc, c[0], c[1].astype(np.int32), c[2]))
             else:
                 res.append(None)
-        fetched = [self.dev.fetch(*h) if h is not None
+        fetched = [self.dev.fetch(h) if h is not None
                    else (np.zeros(0, np.int32), None, None) for h in res]
         paired, pcnt, pdata, poff, ends = replay_pe(
             p, self.ref, enc_a, cand[0], fetched[0],
