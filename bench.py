@@ -22,8 +22,16 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
-N_READS = int(os.environ.get("BENCH_READS", 200_000))
-GENOME = int(os.environ.get("BENCH_GENOME", 50_000_000))
+# Profile "random" (default): 2 Mbp random reference — candidate volume
+# ~9/read, wire-friendly; matches BASELINE.md config 1's "small FASTA ref".
+# Profile "repeat": 50 Mbp with ~45% diverged repeats — realistic candidate
+# explosion (~60k enumerated/read); through this round's remote-TPU tunnel
+# (~50 MB/s) the wire dominates there, see docs/PERF.md.
+PROFILE = os.environ.get("BENCH_PROFILE", "random")
+N_READS = int(os.environ.get("BENCH_READS",
+                             250_000 if PROFILE == "random" else 200_000))
+GENOME = int(os.environ.get("BENCH_GENOME",
+                            2_000_000 if PROFILE == "random" else 50_000_000))
 READLEN = 100
 BATCH = 25_000
 SEED = 20260816
@@ -40,24 +48,27 @@ def make_data(d: Path):
     candidate load for any aligner."""
     import numpy as np
     ref_p, fq_p = d / "ref.fa", d / "reads.fq"
-    stamp = d / f".stamp_rep_{GENOME}_{N_READS}_{SEED}"
+    stamp = d / f".stamp_{PROFILE}_{GENOME}_{N_READS}_{SEED}"
     if stamp.exists() and ref_p.exists() and fq_p.exists():
         return ref_p, fq_p
     rng = np.random.default_rng(SEED)
     NT = np.frombuffer(b"ACGT", np.uint8)
-    alu = rng.choice(NT, size=300)
-    parts = []
-    total = 0
-    while total < GENOME:
-        u = rng.choice(NT, size=int(rng.integers(300, 1200)))
-        parts.append(u)
-        total += len(u)
-        for _ in range(int(rng.integers(1, 4))):
-            cp = np.where(rng.random(300) < 0.05,
-                          rng.choice(NT, size=300), alu).astype(np.uint8)
-            parts.append(cp)
-            total += 300
-    g = np.concatenate(parts)[:GENOME]
+    if PROFILE == "repeat":
+        alu = rng.choice(NT, size=300)
+        parts = []
+        total = 0
+        while total < GENOME:
+            u = rng.choice(NT, size=int(rng.integers(300, 1200)))
+            parts.append(u)
+            total += len(u)
+            for _ in range(int(rng.integers(1, 4))):
+                cp = np.where(rng.random(300) < 0.05,
+                              rng.choice(NT, size=300), alu).astype(np.uint8)
+                parts.append(cp)
+                total += 300
+        g = np.concatenate(parts)[:GENOME]
+    else:
+        g = rng.choice(NT, size=GENOME)
     with open(ref_p, "wb") as f:
         f.write(b">chr1\n")
         n = len(g) // 60 * 60
