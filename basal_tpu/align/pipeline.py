@@ -228,7 +228,12 @@ class SingleEndAligner:
     def _dispatch_unique(self, enc, loc, plane, row):
         """Dedup identical (row, loc, plane) candidates before device eval
         (interval probes regenerate the same alignment start up to
-        seedsegs x I times on repeat-heavy genomes)."""
+        seedsegs x I times on repeat-heavy genomes).  Skipped on light
+        batches where the sort costs more than the duplicate eval."""
+        if loc.size < 4 * len(enc.reads):
+            handle = self.dev.extend_async(enc, loc, plane.astype(np.int32),
+                                           row)
+            return handle, None
         key = ((row.astype(np.int64) << 33)
                | (loc.astype(np.int64) << 1) | plane.astype(np.int64))
         uniq, inv = np.unique(key, return_inverse=True)

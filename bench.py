@@ -29,7 +29,7 @@ sys.path.insert(0, str(ROOT))
 # (~50 MB/s) the wire dominates there, see docs/PERF.md.
 PROFILE = os.environ.get("BENCH_PROFILE", "random")
 N_READS = int(os.environ.get("BENCH_READS",
-                             250_000 if PROFILE == "random" else 200_000))
+                             600_000 if PROFILE == "random" else 200_000))
 GENOME = int(os.environ.get("BENCH_GENOME",
                             2_000_000 if PROFILE == "random" else 50_000_000))
 READLEN = 100
