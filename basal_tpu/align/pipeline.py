@@ -397,6 +397,26 @@ class ThreadedRunner:
 def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
                    out_fh=None, command_line: str = "basal_tpu",
                    log=lambda *a: None):
+    # observability (SURVEY §5): BASAL_TPU_PROFILE=<dir> captures a JAX
+    # profiler trace of the whole run (device + host annotations); per-batch
+    # reads/s are logged at -V 2 like the reference's batch lines
+    import os as _os
+    prof_dir = _os.environ.get("BASAL_TPU_PROFILE")
+    if prof_dir:
+        import jax.profiler as _prof
+        _prof.start_trace(prof_dir)
+    try:
+        return _run_single_end(params, ref_path, reads_path, out_fh,
+                               command_line, log)
+    finally:
+        if prof_dir:
+            import jax.profiler as _prof
+            _prof.stop_trace()
+
+
+def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
+                    out_fh=None, command_line: str = "basal_tpu",
+                    log=lambda *a: None):
     t0 = time.time()
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp. "
