@@ -88,34 +88,42 @@ class DeviceContext:
             return np.pad(a, (0, upad)) if upad else a
 
         roff = np.pad(row_off, (0, upad), constant_values=C).astype(np.int32)
+        Upad = U + upad
 
         need_mread = self.mode == "multiway"
         need_len = p.gap > 0
-        dummy = np.zeros((1, enc.W), np.uint32)
-        dummy1 = np.zeros(1, np.int32)
-        args = dict(
-            ref32=self.ref32_dev,
-            loc=jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
-            plane=jnp.asarray(padc(plane).astype(np.uint8)),
-            row_off=jnp.asarray(roff),
-            base=jnp.asarray(padr(enc.base)), valid=jnp.asarray(padr(enc.valid)),
-            mread=jnp.asarray(padr(enc.mread) if need_mread else dummy),
-            lenmask=jnp.asarray(padr(enc.lenmask) if need_len else dummy),
-            ncnt=jnp.asarray(padr1(np.repeat(enc.n_count, 2)),
-                             dtype=jnp.int32),
-            readlen=jnp.asarray(
-                padr1(np.repeat(enc.map_len, 2)).astype(np.int32)
-                if need_len else dummy1),
-        )
         if self.use_pallas and p.gap == 0:
             from ..ops.extend_pallas import extend_counts_pallas
+            dummy = np.zeros((1, enc.W), np.uint32)
             res = extend_counts_pallas(
-                args["ref32"], args["loc"], args["plane"], args["row_off"],
-                args["base"], args["valid"], args["mread"], args["ncnt"],
+                self.ref32_dev,
+                jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
+                jnp.asarray(padc(plane).astype(np.uint8)),
+                jnp.asarray(roff),
+                jnp.asarray(padr(enc.base)), jnp.asarray(padr(enc.valid)),
+                jnp.asarray(padr(enc.mread) if need_mread else dummy),
+                jnp.asarray(padr1(np.repeat(enc.n_count, 2)),
+                            dtype=jnp.int32),
                 mode=self.mode, W=enc.W, nw=self.nw)
-        else:
-            res = extend_kernel(**args, mode=self.mode, gap=p.gap, W=enc.W,
-                                nw=self.nw)
+            return C, res
+        # single packed meta + planes upload (tunnel RTT amortization)
+        from ..ops.extend import extend_kernel_packed
+        meta = np.concatenate([
+            padc(loc, 12800).astype(np.int32), roff,
+            padr1(np.repeat(enc.n_count, 2)).astype(np.int32),
+            padr1(np.repeat(enc.map_len, 2)).astype(np.int32)])
+        plane_list = [padr(enc.base), padr(enc.valid)]
+        if need_mread:
+            plane_list.append(padr(enc.mread))
+        if need_len:
+            plane_list.append(padr(enc.lenmask))
+        planes = np.concatenate(plane_list, axis=0)
+        res = extend_kernel_packed(
+            self.ref32_dev, jnp.asarray(meta),
+            jnp.asarray(planes),
+            jnp.asarray(padc(plane).astype(np.uint8)),
+            mode=self.mode, gap=p.gap, W=enc.W, nw=self.nw,
+            C=cpad, U=Upad, n_planes=len(plane_list))
         return C, res
 
     # candidate-heavy batches (repetitive references) are evaluated in

@@ -76,9 +76,8 @@ def _first_positions(flagw: jax.Array, fill: jax.Array, W: int,
     return jnp.sort(score, axis=1)[:, :K_POS]
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw"))
-def extend_kernel(ref32, loc, plane, row_off, base, valid, mread, lenmask,
-                  ncnt, readlen, *, mode: str, gap: int, W: int, nw: int):
+def _extend_core(ref32, loc, plane, row_off, base, valid, mread, lenmask,
+                 ncnt, readlen, *, mode: str, gap: int, W: int, nw: int):
     """Evaluate C candidates against the packed reference.
 
     ref32: u32 [2*nw] (fwd plane then RC plane, each nw words)
@@ -137,3 +136,44 @@ def extend_kernel(ref32, loc, plane, row_off, base, valid, mread, lenmask,
         pos1.append(_first_positions(flags_s & lm, L, W, reverse=True))
     return (counts8, pos0.astype(jnp.int16),
             jnp.stack(pos1, axis=1).astype(jnp.int16))
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw"))
+def extend_kernel(ref32, loc, plane, row_off, base, valid, mread, lenmask,
+                  ncnt, readlen, *, mode: str, gap: int, W: int, nw: int):
+    return _extend_core(ref32, loc, plane, row_off, base, valid, mread,
+                        lenmask, ncnt, readlen, mode=mode, gap=gap, W=W,
+                        nw=nw)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw", "C",
+                                             "U", "n_planes"))
+def extend_kernel_packed(ref32, meta, planes, plane_u8, *, mode: str,
+                         gap: int, W: int, nw: int, C: int, U: int,
+                         n_planes: int):
+    """RTT-minimizing entry: all i32 scalars/vectors arrive in one ``meta``
+    buffer and all read planes in one ``planes`` buffer (3 host->device
+    transfers per call instead of ~10; the remote-TPU tunnel charges ~35 ms
+    per transfer).
+
+    meta   i32 [C + (U+1) + U + U]: loc | row_off | ncnt | readlen
+    planes u32 [n_planes*U, W]:     base | valid | [mread] | [lenmask]
+    plane_u8 u8 [C]
+    """
+    loc = meta[:C]
+    row_off = meta[C:C + U + 1]
+    ncnt = meta[C + U + 1:C + 2 * U + 1]
+    readlen = meta[C + 2 * U + 1:C + 3 * U + 1]
+    base = planes[:U]
+    valid = planes[U:2 * U]
+    one = jnp.zeros((1, W), jnp.uint32)
+    k = 2
+    if mode == "multiway":
+        mread = planes[k * U:(k + 1) * U]
+        k += 1
+    else:
+        mread = one
+    lenmask = planes[k * U:(k + 1) * U] if gap > 0 else one
+    return _extend_core(ref32, loc, plane_u8, row_off, base, valid, mread,
+                        lenmask, ncnt, readlen, mode=mode, gap=gap, W=W,
+                        nw=nw)
