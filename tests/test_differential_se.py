@@ -129,3 +129,33 @@ def test_seed12_interval2(tmp_path, rng):
     """Non-default -s/-I."""
     diff_case(tmp_path, rng, "C:T", ["-S", "6", "-s", "12", "-I", "2"],
               genome_len=4000, n_reads=40)
+
+
+def test_python_replay_path(tmp_path, rng):
+    """BASAL_TPU_NO_NATIVE=1 forces the pure-Python scheduler/replay twins;
+    output must still match the oracle byte-for-byte."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    diffdir = tmp_path
+    seqs = [("chrP", random_genome(rng, 6000))]
+    make_ref(diffdir / "ref.fa", seqs)
+    reads = convert_reads(rng, seqs[0][1], 40, 80, "A:G", rate=0.5,
+                          sub_rate=0.01, revcomp_frac=0.3)
+    make_fastq(diffdir / "reads.fq", reads)
+    base = ["-a", "reads.fq", "-d", "ref.fa", "-M", "A:G", "-V", "0",
+            "-S", "17", "-u"]
+    r = run_oracle(base + ["-o", "oracle.sam"], diffdir)
+    assert r.returncode == 0, r.stderr
+    env = {**os.environ, "BASAL_TPU_NO_NATIVE": "1", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).resolve().parents[1])}
+    rr = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from basal_tpu import cli; cli.main("
+         + repr(base + ["-o", "ours.sam"]) + ")"],
+        cwd=diffdir, env=env, capture_output=True, text=True, timeout=300)
+    assert rr.returncode == 0, rr.stderr[-2000:]
+    assert (norm_sam((diffdir / "ours.sam").read_text())
+            == norm_sam((diffdir / "oracle.sam").read_text()))
