@@ -40,8 +40,21 @@ def _mode_name(params: AlignParams) -> str:
 class DeviceContext:
     """Holds the packed reference on device and invokes the extend kernel."""
 
+    _cache_set = False
+
     def __init__(self, ref: PackedReference, params: AlignParams):
         import os
+        if not DeviceContext._cache_set:
+            DeviceContext._cache_set = True
+            try:  # persistent jit cache: kills recompiles across processes
+                cache = os.environ.get(
+                    "BASAL_TPU_JIT_CACHE",
+                    os.path.join(os.path.expanduser("~"), ".basal_tpu_jit"))
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+            except Exception:  # noqa: BLE001 - cache is best-effort
+                pass
         self.params = params
         self.nw = ref.ref32.shape[1]
         self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))

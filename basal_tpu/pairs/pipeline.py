@@ -230,7 +230,35 @@ class PairEndAligner:
         self.native_a = NativeBatch(params, index, ref) if use_native else None
         self.native_b = NativeBatch(params, index, ref) if use_native else None
 
+    MAX_BATCH_CANDS = 30_000_000
+
     def align_batch(self, reads_a, reads_b) -> str:
+        p = self.p
+        # candidate-volume guard: repeat-heavy references can enumerate 10^4+
+        # candidates per read; split the pair batch so the eager PE tables
+        # stay bounded (the SE path uses lazy strata-ladder waves instead)
+        if len(reads_a) > 512 and self.native_a is not None:
+            from ..reads.io import ReadRec
+            ridx = np.array([r.index for r in reads_a], dtype=np.uint32)
+            # probe on COPIES (encode mutates seq/qual) with scheduler state
+            # snapshotted (build_groups advances xseed_start_offset)
+            probe_reads = [ReadRec(r.index, r.readset, r.name, r.seq, r.qual)
+                           for r in reads_a]
+            state0 = self.native_a.state.copy()
+            enc_probe = encode_batch(p, probe_reads)
+            _, _, total = self.native_a.build_groups(enc_probe, ridx)
+            self.native_a.state[:] = state0
+            if total > self.MAX_BATCH_CANDS:
+                n_split = -(-int(total) // self.MAX_BATCH_CANDS)
+                step = max(256, len(reads_a) // n_split)
+                out = []
+                for i in range(0, len(reads_a), step):
+                    out.append(self._align_batch_inner(
+                        reads_a[i:i + step], reads_b[i:i + step]))
+                return "".join(out)
+        return self._align_batch_inner(reads_a, reads_b)
+
+    def _align_batch_inner(self, reads_a, reads_b) -> str:
         p = self.p
         enc_a = encode_batch(p, reads_a)
         enc_b = encode_batch(p, reads_b)
