@@ -31,10 +31,12 @@ from .pairing import PairHit, fix_pair_read_name, get_pairs, lockstep_align
 
 
 class PairEmitter:
-    def __init__(self, params: AlignParams, ref: PackedReference, rng: MyRand):
+    def __init__(self, params: AlignParams, ref: PackedReference, rng: MyRand,
+                 rrbs_seglen=None):
         self.p = params
         self.ref = ref
         self.rng = rng
+        self.rrbs_seglen = rrbs_seglen
         self.n_aligned_pairs = self.n_unique_pairs = self.n_multiple_pairs = 0
         self.n_aligned_a = self.n_unique_a = self.n_multiple_a = 0
         self.n_aligned_b = self.n_unique_b = self.n_multiple_b = 0
@@ -65,6 +67,11 @@ class PairEmitter:
                    f"{mate_h[1] + 1}\t{pp_insert}\t{seq}\t{qual}\tNM:i:{nm}")
             if p.out_ref:
                 rec += f"\tXR:Z:{_xr_context(self.ref, p, h[0], h[1], L)}"
+            if self.rrbs_seglen is not None:
+                # RRBS PE: ZP = leftmost mate pos, ZL = insert
+                # (s_OutHitPair, pairs.cpp:355-358)
+                seg_start = (mate_h[1] + 1) if rev else (h[1] + 1)
+                rec += f"\tZP:i:{seg_start}\tZL:i:{insert}"
             rec += f"\tZS:Z:{CHAIN_FLAG[h[0] % 2]}{CHAIN_FLAG[ch]}\n"
             out.append(rec)
 
@@ -113,6 +120,9 @@ class PairEmitter:
                    f"{mname}\t{hb[1] + 1}\t0\t{seq}\t{qual}\tNM:i:{na}")
         if p.out_ref:
             rec += f"\tXR:Z:{_xr_context(self.ref, p, ha[0], ha[1], L)}"
+        if self.rrbs_seglen is not None:
+            zp, zl = self.rrbs_seglen(ha[0], ha[1], L)
+            rec += f"\tZP:i:{zp}\tZL:i:{zl}"
         rec += f"\tZS:Z:{CHAIN_FLAG[ha[0] % 2]}{CHAIN_FLAG[chain_a]}\n"
         out.append(rec)
 
@@ -222,7 +232,11 @@ class PairEndAligner:
         self.sched_b = SeedScheduler(params, index, self.rng)
         self.dev = DeviceContext(ref, params)
         self.replayer = Replayer(params, ref, self.rng)
-        self.emitter = PairEmitter(params, ref, self.rng)
+        rrbs_fn = None
+        if params.rrbs_flag:
+            from ..index.rrbs import ccgg_seglen
+            rrbs_fn = (lambda c, l, L: ccgg_seglen(index, c, l, L))
+        self.emitter = PairEmitter(params, ref, self.rng, rrbs_seglen=rrbs_fn)
         from ..native import NativeBatch, native_available
         if use_native is None:
             use_native = (native_available() and params.randseed != 0
@@ -266,7 +280,12 @@ class PairEndAligner:
             return self._align_batch_native(enc_a, enc_b)
         res = []
         for enc, sched in ((enc_a, self.sched_a), (enc_b, self.sched_b)):
-            table = build_candidates(p, self.index, enc, sched)
+            if p.rrbs_flag:
+                from ..align.candidates import build_candidates_rrbs
+                table = build_candidates_rrbs(p, self.index, self.ref, enc,
+                                              sched)
+            else:
+                table = build_candidates(p, self.index, enc, sched)
             if table.loc.size:
                 counts, pos0, pos1 = self.dev.extend(
                     enc, table.loc, table.plane, table.row)
@@ -372,7 +391,11 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
     t0 = time.time()
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp.")
-    index = build_index(ref, params)
+    if params.rrbs_flag:
+        from ..index.rrbs import build_rrbs_index
+        index = build_rrbs_index(ref_path, ref, params)
+    else:
+        index = build_index(ref, params)
     log(f"create seed table. {time.time()-t0:.0f} secs passed")
     aligner = PairEndAligner(params, ref, index)
     out_fh = out_fh or sys.stdout

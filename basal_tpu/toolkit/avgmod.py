@@ -182,6 +182,8 @@ class AvgMod:
 
     # -- one SAM record -> (seq, strand, cr, pos) or None ----------------
     def _load_read(self, line: str):
+        if not getattr(self, "sam_format", True):
+            return self._load_read_bsp(line)
         if line.startswith("@"):
             return None
         col = line.rstrip("\n").split("\t")
@@ -232,11 +234,58 @@ class AvgMod:
             return seq, strand[0], cr, pos
         return seq, ("+" if not (flag & 16) else "-"), cr, pos
 
+    # BSP text format (Load_One_Read else-branch,
+    # basalkit_functions.py:125-137): legacy output of the BSP aligner
+    def _load_read_bsp(self, line: str):
+        col = line.rstrip("\n").split("\t")
+        if len(col) < 10:
+            return None
+        flag = col[3][:2]
+        if flag in ("NM", "QC"):
+            return None
+        if self.unique and flag != "UM":
+            return None
+        if self.pair and col[7] == "0":
+            return None
+        seq, strand, cr = col[1], col[6], col[4]
+        pos, mm = int(col[5]) - 1, col[9]
+        if cr not in self.ref:
+            return None
+        if ":" in mm:
+            tmp = mm.split(":")
+            gap_pos, gap_size = int(tmp[1]), int(tmp[2])
+            if gap_size < 0:
+                seq = seq[:gap_pos] + seq[gap_pos - gap_size:]
+            else:
+                seq = seq[:gap_pos] + "-" * gap_size + seq[gap_pos:]
+        if strand not in ("++", "-+", "+-", "--"):
+            return None
+        pos2 = pos + len(seq)
+        if pos2 >= len(self.ref[cr]):
+            return None
+        if strand in ("+-", "-+"):
+            frag_end, direction = pos2, 2
+        else:
+            frag_end, direction = pos, 1
+        if self.rm_dup:
+            if self.coverage[cr][frag_end] & direction:
+                return None
+            self.coverage[cr][frag_end] |= direction
+        if self.trim_fillin > 0:
+            if strand in ("+-", "-+"):
+                seq = seq[:-self.trim_fillin]
+            else:
+                seq, pos = seq[self.trim_fillin:], pos + self.trim_fillin
+        return seq, strand[0], cr, pos
+
     def add_file(self, path: str):
         """Streaming pileup.  Record parsing/filters stay per line (exact
         reference semantics); the per-site accumulation is batched numpy
         (see _accumulate) — ~20x faster than the reference's per-read regex
         loop on large BAMs."""
+        up = path.upper()
+        self.sam_format = up.endswith(".SAM") or up.endswith(".BAM") \
+            or up.endswith(".CRAM")
         disp(f"Load Alignment: {path}")
         nline = 0
         batch = []

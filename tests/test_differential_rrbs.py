@@ -80,3 +80,42 @@ def _fd(got, want):
     import difflib
     return "\n".join(list(difflib.unified_diff(want, got, "oracle", "ours",
                                                lineterm=""))[:40])
+
+
+def test_rrbs_pe(tmp_path, rng):
+    """RRBS paired-end: fragment index with the pairend extra entries,
+    ZP/ZL pair tags."""
+    g = rrbs_genome(rng, n_frags=50, frag_lo=120, frag_hi=300)
+    make_ref(tmp_path / "ref.fa", [("chrR", g)])
+    comp = str.maketrans("ACGT", "TGCA")
+    # fragments between consecutive CCGG cut sites; R1 from 5' cut, R2 = rc
+    sites = []
+    i = g.find("CCGG")
+    while i >= 0:
+        sites.append(i + 1)
+        i = g.find("CCGG", i + 1)
+    r1s, r2s = [], []
+    k = 0
+    for a, b in zip(sites, sites[1:]):
+        frag = g[a:b + 1]
+        if len(frag) < 80:
+            continue
+        conv = "".join("T" if (c == "C" and rng.random() < 0.6) else c
+                       for c in frag)
+        L = min(60, len(conv))
+        r1s.append((f"p{k}/1", conv[:L]))
+        r2s.append((f"p{k}/2", conv[-L:].translate(comp)[::-1]))
+        k += 1
+        if k >= 35:
+            break
+    make_fastq(tmp_path / "r1.fq", r1s)
+    make_fastq(tmp_path / "r2.fq", r2s)
+    base = ["-a", "r1.fq", "-b", "r2.fq", "-d", "ref.fa", "-M", "C:T",
+            "-V", "0", "-S", "3", "-D", "C-CGG", "-u", "-m", "28",
+            "-x", "600"]
+    r = run_oracle(base + ["-o", "oracle.sam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    ours = run_ours(base, tmp_path)
+    want = norm_sam((tmp_path / "oracle.sam").read_text())
+    got = norm_sam(ours)
+    assert got == want, _fd(got, want)
