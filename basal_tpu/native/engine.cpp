@@ -67,8 +67,10 @@ static inline u32 myrand_hash(u32 idx, u32 randseed) {
     return (u32)(v & 0xffffffffULL);
 }
 
-// CountSeeds (ref: align.cpp:526-540): u32-wrapping sum, sticky <<12 N weight
-static inline u32 count_seeds(const Shared& sh, const u32* sv, const u8* hn,
+// CountSeeds (ref: align.cpp:526-540): u32-wrapping sum, sticky <<12 N
+// weight.  ``cc`` is the per-read prefetched counts cache (counts[] is a
+// 3^16-slot table; uncached lookups are ~100 DRAM misses per read).
+static inline u32 count_seeds(const Shared& sh, const u32* cc, const u8* hn,
                               i32 n_off, i32 seg, i32 start) {
     u32 total = 0;
     u32 k = 0;
@@ -76,10 +78,24 @@ static inline u32 count_seeds(const Shared& sh, const u32* sv, const u8* hn,
         i64 off = sh.profile[seg * sh.prof_stride + i] + start - i;
         if (off < 0 || off >= n_off) continue;  // stale-state path: count 0
         if (hn[off]) k = 12;
-        total += ((u32)sh.counts[sv[off]]) << k;
+        total += cc[off] << k;
     }
     if (total == 0) total = 9999999u;
     return total;
+}
+
+// gather counts[sv[0..n_off)] with a software-prefetch pipeline (cf. the
+// reference's PREFETCH_CAL_UNIT pattern, refbase.cpp:303-325)
+static inline void fill_count_cache(const Shared& sh, const u32* sv,
+                                    i32 n_off, u32* cc) {
+    const i32 PF = 12;
+    i32 lead = n_off < PF ? n_off : PF;
+    for (i32 i = 0; i < lead; ++i)
+        __builtin_prefetch(sh.counts + sv[i], 0, 0);
+    for (i32 i = 0; i < n_off; ++i) {
+        if (i + PF < n_off) __builtin_prefetch(sh.counts + sv[i + PF], 0, 0);
+        cc[i] = (u32)sh.counts[sv[i]];
+    }
 }
 
 struct Sched {
@@ -89,8 +105,9 @@ struct Sched {
 };
 
 // ReorderSeed + AdjustSeedStartArray (ref: align.cpp:468-524)
+// ``cc2`` receives each chain's counts cache for reuse by the caller.
 static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
-                          Sched out[2]) {
+                          Sched out[2], u32* cc2) {
     i32 L = sh.map_len[r];
     i32 segnum = sh.seedseg[r];
     i32 max_offset = (L - sh.I + 1) % sh.s;
@@ -100,12 +117,14 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
         const u32* sv = sh.seedval + ((i64)r * 2 + chain) * sh.S;
         const u8* hn = sh.has_n + ((i64)r * 2 + chain) * sh.S;
         i32 n_off = sh.n_offsets[r];
+        u32* cc = cc2 + (i64)chain * sh.S;
+        fill_count_cache(sh, sv, n_off, cc);
         if (max_offset > 0) {
             u32 best = 0xffffffffu;
             for (i32 i = 0; i < max_offset; ++i) {
                 u32 tt = 0;
                 for (i32 seg = 0; seg < segnum; ++seg)
-                    tt += count_seeds(sh, sv, hn, n_off, seg, i);
+                    tt += count_seeds(sh, cc, hn, n_off, seg, i);
                 if (tt < best) { best = tt; start_offset_state[chain] = i; }
             }
         }
@@ -119,14 +138,14 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
             u32 total = 0xffffffffu;
             sa[ptr] = lo;
             for (i32 ii = lo; ii <= hi; ++ii) {
-                u32 tt = count_seeds(sh, sv, hn, n_off, ptr, ii);
+                u32 tt = count_seeds(sh, cc, hn, n_off, ptr, ii);
                 if (tt < total) { total = tt; sa[ptr] = ii; }
             }
         }
         // sort segments by (count-as-int, segid)
         std::pair<i32, i32> keys[MAXSNPS + 1];
         for (i32 seg = 0; seg < segnum; ++seg)
-            keys[seg] = { (i32)count_seeds(sh, sv, hn, n_off, seg, sa[seg]), seg };
+            keys[seg] = { (i32)count_seeds(sh, cc, hn, n_off, seg, sa[seg]), seg };
         std::sort(keys, keys + segnum);
         for (i32 seg = 0; seg < segnum; ++seg) out[chain].order[seg] = keys[seg].second;
     }
@@ -163,21 +182,23 @@ i64 bt_build_candidates(
               I, s, 0, 0, 0, 0, max_kmer_num, randseed, profile, prof_stride};
     i64 flat = 0, ng = 0;
     Sched sc[2];
+    std::vector<u32> cc2((i64)2 * S);
     for (i32 r = 0; r < B; ++r) {
         if (group_offsets) group_offsets[r] = ng;
         if (filtered[r] || seedseg[r] <= 0) continue;
-        schedule_read(sh, r, start_offset_state, sc);
+        schedule_read(sh, r, start_offset_state, sc, cc2.data());
         u32 rv = myrand_hash(read_index[r], randseed);
         for (int chain = 0; chain < 2; ++chain) {
             if (!sc[chain].active) continue;
             const u32* sv = seedval + ((i64)r * 2 + chain) * S;
+            const u32* cc = cc2.data() + (i64)chain * S;
             for (i32 mode = 0; mode < seedseg[r]; ++mode) {
                 i32 seg = sc[chain].order[mode];
                 for (i32 i = 0; i < I; ++i) {
                     i64 off = profile[seg * prof_stride + i]
                               + sc[chain].start_arr[seg] - i;
                     u32 sd = sv[off];
-                    i64 m = counts[sd];
+                    i64 m = cc[off];
                     if (m == 0 || m > max_kmer_num) continue;
                     i64 h = off;  // h == seed offset in read (profile+start-i)
                     if (fill == 1) {
