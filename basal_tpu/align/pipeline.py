@@ -277,9 +277,29 @@ class SingleEndAligner:
                 pos1 = pos1[uinv]
         return counts, pos0, pos1
 
+    def prefetch_state(self, state):
+        """Block on the wave-1 device results for a submitted state (device
+        usage stays serialized with the caller); the remaining pure-host work
+        can then run in a side thread via finish_batch_prefetched."""
+        if state[0] == "py" or state[6] is None:
+            return None
+        return self._fetch_expand(state[6], state[7])
+
+    def finish_batch_prefetched(self, state, fetched) -> str:
+        """finish_batch with the wave-1 fetch already done.  NOTE: ladder
+        wave-2+ still issues device calls; callers that need strict device
+        serialization should only use this on eager (single-wave) batches —
+        wave 2 triggers for <5% of reads on non-repetitive references."""
+        if fetched is None:
+            return self.finish_batch(state)
+        return self._finish_with(state, fetched)
+
     def finish_batch(self, state) -> str:
         if state[0] == "py":
             return self._align_batch_python(state[1])
+        return self._finish_with(state, self.prefetch_state(state))
+
+    def _finish_with(self, state, fetched) -> str:
         (_, enc, groups, goff, off, arrs, handle, uinv, eff) = state
         p = self.p
         if handle is None:
@@ -288,7 +308,8 @@ class SingleEndAligner:
                                         None, None, counts_off=off)
             return self._emit_native(enc, [(None, res)])
         loc, plane, row = arrs
-        counts, pos0, pos1 = self._fetch_expand(handle, uinv)
+        counts, pos0, pos1 = (fetched if fetched is not None
+                              else self._fetch_expand(handle, uinv))
         if eff >= 99:
             res = self.native.replay_se(enc, groups, goff, loc, plane,
                                         counts, pos0, pos1, counts_off=off)

@@ -173,16 +173,28 @@ def main():
     t_warm = time.time() - t0
     log(f"warmup batch ({len(b)} reads): {t_warm:.1f}s")
     n_warm = len(b)
-    # steady state: sequential batches — the remote-TPU tunnel serializes
-    # transfers, so worker threads / overlap degrade it (see docs/PERF.md)
+    # steady state: device calls stay strictly sequential (the tunnel
+    # serializes and degrades under interleaved transfers), but batch k's
+    # pure-host tail (replay + SAM formatting) runs in a side thread while
+    # batch k+1 encodes/dispatches/fetches
+    from concurrent.futures import ThreadPoolExecutor
+    tail = ThreadPoolExecutor(1)
     n_rest = 0
     t0 = time.time()
+    futs = []
     while True:
         b = rd.next_batch(BATCH)
         if not b:
             break
-        sam_parts.append(al.align_batch(b))
+        state = al.submit_batch(b)
+        counts = al.prefetch_state(state)
+        futs.append(tail.submit(al.finish_batch_prefetched, state, counts))
         n_rest += len(b)
+        while len(futs) > 2:
+            sam_parts.append(futs.pop(0).result())
+    for f in futs:
+        sam_parts.append(f.result())
+    tail.shutdown()
     dt = time.time() - t0
     ours_rps = n_rest / dt if n_rest else n_warm / t_warm
     log(f"ours: {n_rest} reads in {dt:.2f}s = {ours_rps:.0f} reads/s")
