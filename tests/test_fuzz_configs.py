@@ -79,3 +79,41 @@ def test_fuzz_config(tmp_path, case_id):
         d = "\n".join(list(difflib.unified_diff(want, got, "oracle", "ours",
                                                 lineterm=""))[:30])
         raise AssertionError(f"flags={flags} rule={rule}\n{d}")
+
+
+@pytest.mark.parametrize("case_id", range(8))
+def test_fuzz_pe_config(tmp_path, case_id):
+    """Random PE configs (protocol, inserts, gaps, rules) vs the oracle."""
+    from test_differential_pe import pe_reads
+    from conftest import random_genome
+    fz = random.Random(999 + case_id)
+    rule = fz.choice(["C:T", "A:G", "A:CGT"])
+    g = random_genome(fz, fz.randrange(5000, 10000))
+    make_ref(tmp_path / "ref.fa", [("chrF", g)])
+    r1, r2 = pe_reads(fz, g, fz.randrange(15, 35), fz.choice([60, 80, 100]),
+                      rule=rule, min_ins=fz.randrange(120, 200),
+                      max_ins=fz.randrange(250, 450),
+                      orphan_frac=fz.choice([0.0, 0.2]))
+    make_fastq(tmp_path / "r1.fq", r1)
+    make_fastq(tmp_path / "r2.fq", r2)
+    flags = ["-S", str(fz.randrange(1, 1 << 20)), "-u"]
+    flags += ["-n", fz.choice("012")]
+    if fz.random() < 0.4:
+        flags += ["-m", str(fz.randrange(20, 120)),
+                  "-x", str(fz.randrange(300, 800))]
+    if fz.random() < 0.3:
+        flags += ["-g", str(fz.randrange(1, 4))]
+    if fz.random() < 0.3:
+        flags += ["-r", fz.choice("012")]
+    base = ["-a", "r1.fq", "-b", "r2.fq", "-d", "ref.fa", "-M", rule,
+            "-V", "0"]
+    r = run_oracle(base + ["-o", "oracle.sam"] + flags, tmp_path)
+    assert r.returncode == 0, (flags, r.stderr)
+    ours = run_ours(base + flags, tmp_path)
+    want = norm_sam((tmp_path / "oracle.sam").read_text())
+    got = norm_sam(ours)
+    if got != want:
+        import difflib
+        d = "\n".join(list(difflib.unified_diff(want, got, "oracle", "ours",
+                                                lineterm=""))[:30])
+        raise AssertionError(f"flags={flags} rule={rule}\n{d}")
