@@ -246,15 +246,38 @@ class SingleEndAligner:
         return ("native", enc, groups, goff, off, (loc, plane, row),
                 handle, uinv, eff)
 
+    # Adaptive wave placement: above this many (deduped) candidates the
+    # upload exceeds what a remote-TPU link absorbs faster than the host's
+    # SIMD evaluator chews the same work (~2 ns/candidate-word); locally
+    # attached chips should set BASAL_TPU_HOST_EVAL=0 (always device) or
+    # raise the threshold.  BASAL_TPU_HOST_EVAL=1 forces host evaluation.
+    HOST_EVAL_MIN = 2_000_000
+
+    def _host_eval_policy(self, n_cands: int) -> bool:
+        import os
+        mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
+        if mode == "0":
+            return False
+        if mode == "1":
+            return True
+        return self.p.gap == 0 and n_cands > self.HOST_EVAL_MIN
+
     def _dispatch_unique(self, enc, loc, plane, row):
-        """Dedup identical (row, loc, plane) candidates before device eval
+        """Dedup identical (row, loc, plane) candidates before evaluation
         (interval probes regenerate the same alignment start up to
         seedsegs x I times on repeat-heavy genomes).  Skipped on light
         batches where the sort costs more than the duplicate eval."""
+
+        def dispatch(l, p_, r):
+            if self._host_eval_policy(l.size):
+                from ..native import host_eval_candidates
+                counts = host_eval_candidates(self.p, self.ref, enc, l,
+                                              p_, r)
+                return ("host", counts)
+            return self.dev.extend_async(enc, l, p_.astype(np.int32), r)
+
         if loc.size < 4 * len(enc.reads):
-            handle = self.dev.extend_async(enc, loc, plane.astype(np.int32),
-                                           row)
-            return handle, None
+            return dispatch(loc, plane, row), None
         key = ((row.astype(np.int64) << 33)
                | (loc.astype(np.int64) << 1) | plane.astype(np.int64))
         uniq, inv = np.unique(key, return_inverse=True)
@@ -262,14 +285,14 @@ class SingleEndAligner:
             order = np.argsort(inv, kind="stable")
             starts = np.searchsorted(inv[order], np.arange(len(uniq)))
             first = order[starts]
-            handle = self.dev.extend_async(
-                enc, loc[first], plane[first].astype(np.int32), row[first])
-            return handle, inv
-        handle = self.dev.extend_async(enc, loc, plane.astype(np.int32), row)
-        return handle, None
+            return dispatch(loc[first], plane[first], row[first]), inv
+        return dispatch(loc, plane, row), None
 
     def _fetch_expand(self, handle, uinv):
-        counts, pos0, pos1 = self.dev.fetch(handle)
+        if isinstance(handle, tuple) and handle[0] == "host":
+            counts, pos0, pos1 = handle[1].astype(np.int32), None, None
+        else:
+            counts, pos0, pos1 = self.dev.fetch(handle)
         if uinv is not None:
             counts = counts[uinv]
             if pos0 is not None:

@@ -22,13 +22,15 @@ _lib = None
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_SRC),
-             "-o", str(_SO)], check=True, capture_output=True)
-        return True
-    except (OSError, subprocess.CalledProcessError):
-        return False
+    for flags in (["-O2", "-march=native"], ["-O2"]):
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17", str(_SRC),
+                 "-o", str(_SO)], check=True, capture_output=True)
+            return True
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return False
 
 
 def get_lib():
@@ -47,6 +49,7 @@ def get_lib():
     lib.bt_replay_pe.restype = ctypes.c_int64
     lib.bt_encode_batch.restype = ctypes.c_int64
     lib.bt_format_se.restype = ctypes.c_int64
+    lib.bt_eval_candidates.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -427,3 +430,32 @@ class NativeFormatter:
             if n >= 0:
                 return out[:n].tobytes().decode("latin1")
             cap = -n + 1024
+
+
+def host_eval_candidates(params, ref, enc, loc, plane, row, n_threads=0):
+    """C++ host evaluation of ungapped candidates (adaptive fallback when
+    the device link can't absorb the candidate upload).  Returns u8 counts
+    in candidate order."""
+    lib = get_lib()
+    mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
+        "nt3" if params.nt3 else
+        ("oneway" if params.rule.one_way else "multiway")]
+    C = loc.size
+    out = np.empty(C, np.uint8)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    nw = ref.ref32.shape[1]
+    lib.bt_eval_candidates(
+        ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(nw),
+        _p(np.ascontiguousarray(loc, np.int32), ctypes.c_int32),
+        _p(np.ascontiguousarray(plane, np.int8), ctypes.c_int8),
+        _p(np.ascontiguousarray(row, np.int32), ctypes.c_int32),
+        ctypes.c_int64(C),
+        _p(enc.base, ctypes.c_uint32), _p(enc.valid, ctypes.c_uint32),
+        _p(enc.mread, ctypes.c_uint32),
+        _p(np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32),
+           ctypes.c_int32),
+        ctypes.c_int32(enc.W), ctypes.c_int32(mode),
+        _p(out, ctypes.c_uint8), ctypes.c_int32(n_threads))
+    return out

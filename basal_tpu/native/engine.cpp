@@ -893,3 +893,67 @@ extern "C" i64 bt_format_se(
     counters[0] += aligned; counters[1] += unique; counters[2] += multiple;
     return w <= cap ? w : -w;
 }
+// --------------------------------------------------------------------------
+// Host-side candidate evaluation (adaptive fallback).
+//
+// Same conversion-mask algebra as ops/bitops.py on u32 lanes (ref:
+// CountMismatch[_new], align.h:118-239), ungapped only.  The pipeline
+// dispatches a wave here instead of the accelerator when the candidate
+// upload would exceed the link budget (remote-TPU tunnels; on locally
+// attached chips the device always wins).  Multithreaded over candidates.
+static inline u32 xc32_(u32 t) { return ((~t) << 1) | t | 0x55555555u; }
+static inline u32 m2j_(u32 t) {
+    return t & (((t & 0xAAAAAAAAu) >> 1) | ((t & 0x55555555u) << 1));
+}
+static inline u32 xt32_(u32 t) { return t - ((t << 1) & t & 0xAAAAAAAAu); }
+static inline i32 xm32_(u32 t) {
+    return __builtin_popcount((t | (t >> 1)) & 0x55555555u);
+}
+
+extern "C" i64 bt_eval_candidates(
+    const u32* ref32, i64 nw,
+    const i32* loc, const i8* plane, const i32* row, i64 C,
+    const u32* base, const u32* valid, const u32* mread,
+    const i32* ncnt, i32 W, i32 mode,   // 0 oneway, 1 multiway, 2 nt3
+    u8* out_counts, i32 n_threads)
+{
+    auto work = [&](i64 c0, i64 c1) {
+        for (i64 c = c0; c < c1; ++c) {
+            const u32* R = ref32 + (i64)(u8)plane[c] * nw + (loc[c] >> 4);
+            u32 sh = ((u32)loc[c] & 15u) << 1;
+            i64 r = row[c];
+            const u32* b = base + r * W;
+            const u32* v = valid + r * W;
+            const u32* mr = mread + r * W;
+            i32 cnt = ncnt[r];
+            for (i32 w = 0; w < W; ++w) {
+                u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
+                u32 f;
+                if (mode == 0) {
+                    f = (b[w] & xc32_(a)) ^ a;
+                } else if (mode == 1) {
+                    u32 m2 = xc32_(a) | mr[w];
+                    u32 m3 = m2j_(m2);
+                    f = (((~m3) & m2) | (m3 & b[w])) ^ a;
+                } else {
+                    f = b[w] ^ xt32_(a);
+                }
+                cnt += xm32_(f & v[w]);
+                if (cnt > 255) break;
+            }
+            out_counts[c] = (u8)(cnt > 255 ? 255 : cnt);
+        }
+    };
+    if (n_threads <= 1 || C < 65536) {
+        work(0, C);
+    } else {
+        std::vector<std::thread> ts;
+        i64 per = (C + n_threads - 1) / n_threads;
+        for (i32 t = 0; t < n_threads; ++t) {
+            i64 a = t * per, b2 = std::min(C, a + per);
+            if (a < b2) ts.emplace_back(work, a, b2);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return 0;
+}

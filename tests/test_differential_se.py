@@ -159,3 +159,24 @@ def test_python_replay_path(tmp_path, rng):
     assert rr.returncode == 0, rr.stderr[-2000:]
     assert (norm_sam((diffdir / "ours.sam").read_text())
             == norm_sam((diffdir / "oracle.sam").read_text()))
+
+
+def test_host_eval_path(tmp_path, rng):
+    """BASAL_TPU_HOST_EVAL=1 (C++ SIMD candidate evaluation) must match the
+    oracle exactly, same as the device path."""
+    import os
+    seqs = [("chrH", random_genome(rng, 6000))]
+    make_ref(tmp_path / "ref.fa", seqs)
+    reads = convert_reads(rng, seqs[0][1], 50, 90, "A:CGT", rate=0.4,
+                          sub_rate=0.01, revcomp_frac=0.3)
+    make_fastq(tmp_path / "reads.fq", reads)
+    base = ["-a", "reads.fq", "-d", "ref.fa", "-M", "A:CGT", "-n", "1",
+            "-V", "0", "-S", "23", "-u"]
+    r = run_oracle(base + ["-o", "oracle.sam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    os.environ["BASAL_TPU_HOST_EVAL"] = "1"
+    try:
+        ours = run_ours(base, tmp_path)
+    finally:
+        del os.environ["BASAL_TPU_HOST_EVAL"]
+    assert norm_sam(ours) == norm_sam((tmp_path / "oracle.sam").read_text())
