@@ -268,12 +268,16 @@ class SingleEndAligner:
         seedsegs x I times on repeat-heavy genomes).  Skipped on light
         batches where the sort costs more than the duplicate eval."""
 
+        # host evaluation has no upload to save: duplicates are cheaper to
+        # re-evaluate (~2 ns) than to dedup (sort-based np.unique), so the
+        # dedup step only runs for device dispatch
+        if self._host_eval_policy(loc.size):
+            from ..native import host_eval_candidates
+            counts = host_eval_candidates(self.p, self.ref, enc, loc,
+                                          plane, row)
+            return ("host", counts), None
+
         def dispatch(l, p_, r):
-            if self._host_eval_policy(l.size):
-                from ..native import host_eval_candidates
-                counts = host_eval_candidates(self.p, self.ref, enc, l,
-                                              p_, r)
-                return ("host", counts)
             return self.dev.extend_async(enc, l, p_.astype(np.int32), r)
 
         if loc.size < 4 * len(enc.reads):
