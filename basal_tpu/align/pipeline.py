@@ -31,6 +31,25 @@ from .rng import MyRand
 from .sam import SamEmitter, sam_header
 
 
+#: Above this many candidates the upload exceeds what a remote-TPU link
+#: absorbs faster than the host's SIMD evaluator chews the same work
+#: (~2 ns/candidate-word); locally attached chips should set
+#: BASAL_TPU_HOST_EVAL=0 (always device) or raise the threshold.
+HOST_EVAL_MIN = 2_000_000
+
+
+def host_eval_policy(params: AlignParams, n_cands: int) -> bool:
+    """True when this wave should run on the host SIMD evaluator instead of
+    the device (BASAL_TPU_HOST_EVAL=0/1 forces; default adaptive)."""
+    import os
+    mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
+    if mode == "0" or params.gap != 0:  # gapped waves need device pos lists
+        return False
+    if mode == "1":
+        return True
+    return n_cands > HOST_EVAL_MIN
+
+
 def _mode_name(params: AlignParams) -> str:
     if params.nt3:
         return "nt3"
@@ -184,7 +203,7 @@ class SingleEndAligner:
         self.index = index
         self.rng = MyRand(params.randseed)
         self.sched = SeedScheduler(params, index, self.rng)
-        self.dev = DeviceContext(ref, params)
+        self._dev = None  # lazy: host-only runs must never claim a device
         self.replayer = Replayer(params, ref, self.rng)
         rrbs_fn = None
         if params.rrbs_flag:
@@ -203,6 +222,16 @@ class SingleEndAligner:
         if self.native is not None and not params.rrbs_flag:
             from ..native import NativeFormatter
             self.formatter = NativeFormatter(params, ref)
+
+    @property
+    def dev(self):
+        """Device context, created on first device dispatch.  Runs whose
+        waves all take the host-SIMD evaluator (repetitive references with
+        BASAL_TPU_HOST_EVAL=1/auto) never construct it, so they never pay
+        the accelerator claim/attach cost."""
+        if self._dev is None:
+            self._dev = DeviceContext(self.ref, self.p)
+        return self._dev
 
     # -- two-phase API for the overlapped pipeline -----------------------
     def stats(self):
@@ -246,21 +275,8 @@ class SingleEndAligner:
         return ("native", enc, groups, goff, off, (loc, plane, row),
                 handle, uinv, eff)
 
-    # Adaptive wave placement: above this many (deduped) candidates the
-    # upload exceeds what a remote-TPU link absorbs faster than the host's
-    # SIMD evaluator chews the same work (~2 ns/candidate-word); locally
-    # attached chips should set BASAL_TPU_HOST_EVAL=0 (always device) or
-    # raise the threshold.  BASAL_TPU_HOST_EVAL=1 forces host evaluation.
-    HOST_EVAL_MIN = 2_000_000
-
     def _host_eval_policy(self, n_cands: int) -> bool:
-        import os
-        mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
-        if mode == "0":
-            return False
-        if mode == "1":
-            return True
-        return self.p.gap == 0 and n_cands > self.HOST_EVAL_MIN
+        return host_eval_policy(self.p, n_cands)
 
     def _dispatch_unique(self, enc, loc, plane, row):
         """Dedup identical (row, loc, plane) candidates before evaluation
@@ -342,15 +358,49 @@ class SingleEndAligner:
                                         counts, pos0, pos1, counts_off=off)
             return self._emit_native(enc, [(None, res)])
 
-        # strata ladder
+        # strata ladder.  Candidate/count arrays grow each wave; appending
+        # via np.concatenate re-copies the whole prefix every wave (O(waves
+        # x C) memcpy — it dominated the repetitive profile), so the waves
+        # append into amortized-doubling buffers instead.  The C++ replay
+        # only dereferences offsets < cur, so passing the full-capacity
+        # buffers is safe, and int32 buffers make replay_se's
+        # ascontiguousarray a no-op.
         read_of_group = groups[:, 0]
         waves = []
         done = np.zeros(len(enc.reads), dtype=bool)
         lim = eff
+        cur = loc.size
+        cap = max(2 * cur, cur + (1 << 20))
+        loc_buf = np.empty(cap, np.int32)
+        loc_buf[:cur] = loc
+        cnt_buf = np.empty(cap, np.int32)
+        cnt_buf[:cur] = counts
+        pos0_buf = pos1_buf = None
+        if pos0 is not None:
+            pos0_buf = np.empty((cap,) + pos0.shape[1:], np.int32)
+            pos0_buf[:cur] = pos0
+            pos1_buf = np.empty((cap,) + pos1.shape[1:], np.int32)
+            pos1_buf[:cur] = pos1
+
+        def _grow(need):
+            nonlocal cap, loc_buf, cnt_buf, pos0_buf, pos1_buf
+            if need <= cap:
+                return
+            cap = max(need, 2 * cap)
+
+            def g(buf):
+                nb = np.empty((cap,) + buf.shape[1:], buf.dtype)
+                nb[:cur] = buf[:cur]
+                return nb
+            loc_buf, cnt_buf = g(loc_buf), g(cnt_buf)
+            if pos0_buf is not None:
+                pos0_buf, pos1_buf = g(pos0_buf), g(pos1_buf)
+
         while True:
             filt = np.ascontiguousarray(enc.filtered | done, np.uint8)
-            res = self.native.replay_se(enc, groups, goff, loc, plane,
-                                        counts, pos0, pos1, mode_limit=lim,
+            res = self.native.replay_se(enc, groups, goff, loc_buf, plane,
+                                        cnt_buf, pos0_buf, pos1_buf,
+                                        mode_limit=lim,
                                         filtered_override=filt,
                                         counts_off=off)
             incomplete = res[0] == -2
@@ -362,23 +412,19 @@ class SingleEndAligner:
             sel = np.flatnonzero((groups[:, 2] == lim)
                                  & incomplete[read_of_group])
             loc2, plane2, row2 = self.native.fill_groups(
-                enc, groups, sel, off, base=len(loc))
-            self.total_candidates += loc2.size
-            if loc2.size:
+                enc, groups, sel, off, base=cur)
+            n2 = loc2.size
+            self.total_candidates += n2
+            _grow(cur + n2)
+            if n2:
                 h2, uinv2 = self._dispatch_unique(enc, loc2, plane2, row2)
                 c2, p02, p12 = self._fetch_expand(h2, uinv2)
-            else:
-                c2 = np.zeros(0, counts.dtype)
-                p02 = p12 = None
-            loc = np.concatenate([loc, loc2])
-            counts = np.concatenate([counts, c2])
-            if pos0 is not None:
-                pos0 = np.concatenate(
-                    [pos0, p02 if p02 is not None
-                     else np.zeros((0,) + pos0.shape[1:], pos0.dtype)])
-                pos1 = np.concatenate(
-                    [pos1, p12 if p12 is not None
-                     else np.zeros((0,) + pos1.shape[1:], pos1.dtype)])
+                loc_buf[cur:cur + n2] = loc2
+                cnt_buf[cur:cur + n2] = c2
+                if pos0_buf is not None and p02 is not None:
+                    pos0_buf[cur:cur + n2] = p02
+                    pos1_buf[cur:cur + n2] = p12
+                cur += n2
             lim += 1
         return self._emit_native(enc, waves)
 

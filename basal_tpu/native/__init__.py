@@ -117,7 +117,14 @@ class NativeBatch:
         p = self.p
         B = len(enc.reads)
         S = enc.seedval.shape[-1] if enc.seedval.size else 1
-        sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1), np.uint32)
+        sv = getattr(enc, "_sv_cache", None)
+        if sv is None:
+            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1),
+                                      np.uint32)
+            enc._sv_cache = sv  # reused by fill_groups for THIS batch;
+            # caching on enc (not self) keeps the overlapped pipeline safe:
+            # batch k+1's build_groups must not clobber the seed values
+            # batch k's ladder waves still materialize from
         hn = np.ascontiguousarray(enc.seed_has_n.reshape(B * 2, -1), np.uint8)
         xf = np.ascontiguousarray(enc.xflag_chain, np.uint8)
         flt = np.ascontiguousarray(enc.filtered, np.uint8)
@@ -182,7 +189,7 @@ class NativeBatch:
             None, None, None,
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
             ctypes.byref(ng))
-        self._last_sv = sv  # keep alive + reuse for fill_groups
+        del sv  # fill_groups re-reads it from enc._sv_cache (per-batch)
         return groups[:int(ng.value)], goff, int(total)
 
     def fill_groups(self, enc, groups, sel, off, base=0):
@@ -192,7 +199,7 @@ class NativeBatch:
         p = self.p
         B = len(enc.reads)
         S = enc.seedval.shape[-1] if enc.seedval.size else 1
-        sv = getattr(self, "_last_sv", None)
+        sv = getattr(enc, "_sv_cache", None)
         if sv is None or sv.shape[0] != B * 2:
             sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1), np.uint32)
         sel = np.ascontiguousarray(sel, np.int64)

@@ -18,7 +18,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..align.candidates import SeedScheduler, build_candidates
-from ..align.pipeline import DeviceContext
+from ..align.pipeline import DeviceContext, host_eval_policy
 from ..align.replay import Hit, ReadScan, Replayer
 from ..align.rng import MyRand
 from ..align.sam import CHAIN_FLAG, _cigar, _xr_context, revcomp, sam_header
@@ -230,7 +230,7 @@ class PairEndAligner:
         self.rng = MyRand(params.randseed)
         self.sched_a = SeedScheduler(params, index, self.rng)
         self.sched_b = SeedScheduler(params, index, self.rng)
-        self.dev = DeviceContext(ref, params)
+        self._dev = None  # lazy: host-eval runs must never claim a device
         self.replayer = Replayer(params, ref, self.rng)
         rrbs_fn = None
         if params.rrbs_flag:
@@ -243,6 +243,14 @@ class PairEndAligner:
                           and not params.rrbs_flag)
         self.native_a = NativeBatch(params, index, ref) if use_native else None
         self.native_b = NativeBatch(params, index, ref) if use_native else None
+
+    @property
+    def dev(self):
+        """Device context, created on first device dispatch (see the SE
+        aligner: host-SIMD-evaluated runs never attach an accelerator)."""
+        if self._dev is None:
+            self._dev = DeviceContext(self.ref, self.p)
+        return self._dev
 
     MAX_BATCH_CANDS = 30_000_000
 
@@ -334,12 +342,19 @@ class PairEndAligner:
             ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
             c = nat.build_candidates(enc, ridx)
             cand.append(c)
-            if c[0].size:
+            if not c[0].size:
+                res.append(None)
+            elif host_eval_policy(p, c[0].size):
+                from ..native import host_eval_candidates
+                counts = host_eval_candidates(p, self.ref, enc, c[0],
+                                              c[1], c[2])
+                res.append(("host", counts))
+            else:
                 res.append(self.dev.extend_async(
                     enc, c[0], c[1].astype(np.int32), c[2]))
-            else:
-                res.append(None)
-        fetched = [self.dev.fetch(h) if h is not None
+        fetched = [(h[1].astype(np.int32), None, None)
+                   if isinstance(h, tuple) and h[0] == "host"
+                   else self.dev.fetch(h) if h is not None
                    else (np.zeros(0, np.int32), None, None) for h in res]
         paired, pcnt, pdata, poff, ends = replay_pe(
             p, self.ref, enc_a, cand[0], fetched[0],
