@@ -269,6 +269,16 @@ class SingleEndAligner:
         eff = 99 if total <= self.EAGER_MAX_CANDS else 1
         sel = (np.arange(ng) if eff >= 99
                else np.flatnonzero(groups[:, 2] < eff))
+        n1c = int(groups[sel, 6].sum())
+        if eff < 99 and n1c and self._host_eval_policy(n1c):
+            # fused wave-1 materialize + host evaluation (no fill/copy pass)
+            loc = np.empty(n1c, np.int32)
+            cnt = np.empty(n1c, np.int32)
+            self.native.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
+                                         loc, cnt)
+            self.total_candidates += n1c
+            return ("native", enc, groups, goff, off, (loc, None, None),
+                    ("host", cnt), None, eff)
         loc, plane, row = self.native.fill_groups(enc, groups, sel, off)
         self.total_candidates += loc.size
         handle, uinv = self._dispatch_unique(enc, loc, plane, row)
@@ -310,7 +320,8 @@ class SingleEndAligner:
 
     def _fetch_expand(self, handle, uinv):
         if isinstance(handle, tuple) and handle[0] == "host":
-            counts, pos0, pos1 = handle[1].astype(np.int32), None, None
+            counts = np.asarray(handle[1], dtype=np.int32)  # no-op if i32
+            pos0 = pos1 = None
         else:
             counts, pos0, pos1 = self.dev.fetch(handle)
         if uinv is not None:
@@ -411,12 +422,18 @@ class SingleEndAligner:
                 break
             sel = np.flatnonzero((groups[:, 2] == lim)
                                  & incomplete[read_of_group])
-            loc2, plane2, row2 = self.native.fill_groups(
-                enc, groups, sel, off, base=cur)
-            n2 = loc2.size
+            n2 = int(groups[sel, 6].sum())  # column 6 = group size
             self.total_candidates += n2
             _grow(cur + n2)
-            if n2:
+            if n2 and self._host_eval_policy(n2):
+                # fused C++ materialize + evaluate straight into the tail
+                self.native.fill_eval_groups(
+                    enc, self.ref, groups, sel, off, cur,
+                    loc_buf[cur:cur + n2], cnt_buf[cur:cur + n2])
+                cur += n2
+            elif n2:
+                loc2, plane2, row2 = self.native.fill_groups(
+                    enc, groups, sel, off, base=cur)
                 h2, uinv2 = self._dispatch_unique(enc, loc2, plane2, row2)
                 c2, p02, p12 = self._fetch_expand(h2, uinv2)
                 loc_buf[cur:cur + n2] = loc2

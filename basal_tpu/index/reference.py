@@ -125,16 +125,27 @@ def load_reference(path: str, params: AlignParams) -> PackedReference:
     count = 0
     sum_length = 0
 
+    try:  # fused C++ map+pack (one pass over the chars vs ~16 numpy passes)
+        from ..native import native_available, native_pack_ref
+        pack_native = native_available()
+    except Exception:  # noqa: BLE001 - native engine is optional
+        pack_native = False
+
     for name, seq in iter_fasta(path):
         length = len(seq)
         nwords64 = (length + SEGLEN - 1) // SEGLEN + BINSEQPAD
         padded = np.full(nwords64 * SEGLEN, ord("N"), dtype=np.uint8)
         padded[:length] = seq
         titles.append(RefTitle(name=name, size=length, rc_offset=nwords64 * SEGLEN))
-        fwd_words.append(pack_codes_u32(rule.alphabet[padded]))
         # RC plane: reverse-complement of the *padded* sequence (cBinSeq reads
         # from the padded end backwards, refbase.cpp:85-101)
-        rc_words.append(pack_codes_u32(rule.rev_alphabet[padded[::-1]]))
+        if pack_native:
+            fwd_words.append(native_pack_ref(padded, rule.alphabet))
+            rc_words.append(native_pack_ref(padded, rule.rev_alphabet,
+                                            reverse=True))
+        else:
+            fwd_words.append(pack_codes_u32(rule.alphabet[padded]))
+            rc_words.append(pack_codes_u32(rule.rev_alphabet[padded[::-1]]))
         blocks.extend(_unmask_region(seq, count, nwords64 * SEGLEN))
         count += 2
         sum_length += length

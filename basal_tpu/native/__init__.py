@@ -50,6 +50,9 @@ def get_lib():
     lib.bt_encode_batch.restype = ctypes.c_int64
     lib.bt_format_se.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
+    lib.bt_fill_eval_groups.restype = ctypes.c_int64
+    lib.bt_pack_ref.restype = ctypes.c_int64
+    lib.bt_build_seed_index.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -227,6 +230,48 @@ class NativeBatch:
             _p(loc, ctypes.c_int32), _p(plane, ctypes.c_int8),
             _p(row, ctypes.c_int32), _p(off, ctypes.c_int64))
         return loc, plane, row
+
+    def fill_eval_groups(self, enc, ref, groups, sel, off, base,
+                         loc_out, cnt_out, n_threads=0):
+        """Fused wave materialize + ungapped host evaluation: writes
+        candidate locs into ``loc_out`` and clamped i32 counts into
+        ``cnt_out`` (contiguous views sized by groups[sel, 6].sum()), and
+        compact offsets into ``off``.  One pass per candidate instead of
+        fill -> copy -> eval."""
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        S = enc.seedval.shape[-1] if enc.seedval.size else 1
+        sv = getattr(enc, "_sv_cache", None)
+        if sv is None or sv.shape[0] != B * 2:
+            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1),
+                                      np.uint32)
+        sel = np.ascontiguousarray(sel, np.int64)
+        mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
+            "nt3" if p.nt3 else
+            ("oneway" if p.rule.one_way else "multiway")]
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 8)
+        ncnt = getattr(enc, "_ncnt2_cache", None)
+        if ncnt is None:
+            ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32)
+            enc._ncnt2_cache = ncnt
+        assert loc_out.flags.c_contiguous and cnt_out.flags.c_contiguous
+        return lib.bt_fill_eval_groups(
+            _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
+            ctypes.c_int64(len(sel)),
+            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
+            _p(self.index.starts, ctypes.c_int64),
+            _p(self.index.n1, ctypes.c_int32),
+            _p(self.index.locs, ctypes.c_uint32),
+            ctypes.c_int64(base),
+            ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(ref.ref32.shape[1]),
+            _p(enc.base, ctypes.c_uint32), _p(enc.valid, ctypes.c_uint32),
+            _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
+            ctypes.c_int32(enc.W), ctypes.c_int32(mode),
+            _p(loc_out, ctypes.c_int32), _p(cnt_out, ctypes.c_int32),
+            _p(off, ctypes.c_int64), ctypes.c_int32(n_threads))
 
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
@@ -466,3 +511,49 @@ def host_eval_candidates(params, ref, enc, loc, plane, row, n_threads=0):
         ctypes.c_int32(enc.W), ctypes.c_int32(mode),
         _p(out, ctypes.c_uint8), ctypes.c_int32(n_threads))
     return out
+
+
+def native_pack_ref(chars, table, reverse=False, n_threads=0):
+    """Fused alphabet-map + 2-bit pack of a reference plane (u8 chars ->
+    u32 words, 16 bases/word, first base at bits 31:30).  ``reverse=True``
+    packs the sequence back-to-front (RC plane).  len(chars) must be a
+    multiple of 16."""
+    lib = get_lib()
+    chars = np.ascontiguousarray(chars, np.uint8)
+    table = np.ascontiguousarray(table, np.uint8)
+    out = np.empty(chars.size // 16, np.uint32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.bt_pack_ref(
+        _p(chars, ctypes.c_uint8), ctypes.c_int64(chars.size),
+        _p(table, ctypes.c_uint8), ctypes.c_int32(1 if reverse else 0),
+        _p(out, ctypes.c_uint32), ctypes.c_int32(n_threads))
+    return out
+
+
+def native_build_seed_index(ref32, pos0, pos1, seed_size, nk, n_threads=0):
+    """C++ CSR seed-index fill (counting sort over the 3^s key space).
+    Returns (starts i64[nk], counts i32[nk], n1 i32[nk], locs u32[n]) with
+    the exact layout of the numpy build in index/seedindex.py."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pos0 = np.ascontiguousarray(pos0, np.int64)
+    pos1 = np.ascontiguousarray(pos1, np.int64)
+    starts = np.zeros(nk, np.int64)
+    counts = np.zeros(nk, np.int32)
+    n1 = np.zeros(nk, np.int32)
+    locs = np.empty(pos0.size + pos1.size, np.uint32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.bt_build_seed_index(
+        ref32[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ref32[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(ref32.shape[1]),
+        _p(pos0, ctypes.c_int64), ctypes.c_int64(pos0.size),
+        _p(pos1, ctypes.c_int64), ctypes.c_int64(pos1.size),
+        ctypes.c_int32(seed_size), ctypes.c_int64(nk),
+        _p(starts, ctypes.c_int64), _p(counts, ctypes.c_int32),
+        _p(n1, ctypes.c_int32), _p(locs, ctypes.c_uint32),
+        ctypes.c_int32(n_threads))
+    return starts, counts, n1, locs

@@ -957,3 +957,192 @@ extern "C" i64 bt_eval_candidates(
     }
     return 0;
 }
+
+// Fused candidate materialize + ungapped evaluation for one ladder wave
+// (the split fill -> copy -> evaluate round-trips ~9 B/candidate through
+// DRAM three times; fusing keeps each candidate in registers).  Semantics
+// are bt_fill_groups(pass=1) + bt_eval_candidates in one pass: cand_loc and
+// clamped counts are written at [pre(k)..), out_off[sel[k]] = base + pre(k).
+// counts are i32 (the ladder's count buffer) but clamp at 255 exactly like
+// the u8 device downlink.  Threads split the selected groups at
+// equal-candidate boundaries.
+extern "C" i64 bt_fill_eval_groups(
+    const Group* groups, const i64* sel, i64 n_sel,
+    i32 S, const u32* seedval,
+    const i64* starts, const i32* n1, const u32* locs,
+    i64 base,
+    const u32* ref32, i64 nw,
+    const u32* baseP, const u32* validP, const u32* mreadP,
+    const i32* ncnt, i32 W, i32 mode,
+    i32* cand_loc, i32* counts, i64* out_off, i32 n_threads)
+{
+    std::vector<i64> pre(n_sel + 1);
+    pre[0] = 0;
+    for (i64 k = 0; k < n_sel; ++k) pre[k + 1] = pre[k] + groups[sel[k]].m;
+    const i64 total = pre[n_sel];
+    auto work = [&](i64 k0, i64 k1) {
+        for (i64 k = k0; k < k1; ++k) {
+            const Group& g = groups[sel[k]];
+            i64 cur = pre[k];
+            out_off[sel[k]] = base + cur;
+            u32 sd = seedval[((i64)g.read * 2 + g.chain) * S + g.h];
+            const u32* lp = locs + starts[sd];
+            i64 r = (i64)g.read * 2 + g.chain;
+            const u32* b = baseP + r * W;
+            const u32* v = validP + r * W;
+            const u32* mr = mreadP + r * W;
+            const i32 nc = ncnt[r];
+            const i64 nn1 = n1[sd];
+            for (i64 j = 0; j < g.m; ++j) {
+                i32 lc = (i32)((i64)lp[j] - g.h);
+                cand_loc[cur + j] = lc;
+                const u32* R = ref32 + (j >= nn1 ? nw : 0) + (lc >> 4);
+                u32 sh = ((u32)lc & 15u) << 1;
+                i32 cnt = nc;
+                for (i32 w = 0; w < W; ++w) {
+                    u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh)))
+                               : R[w];
+                    u32 f;
+                    if (mode == 0) {
+                        f = (b[w] & xc32_(a)) ^ a;
+                    } else if (mode == 1) {
+                        u32 m2 = xc32_(a) | mr[w];
+                        u32 m3 = m2j_(m2);
+                        f = (((~m3) & m2) | (m3 & b[w])) ^ a;
+                    } else {
+                        f = b[w] ^ xt32_(a);
+                    }
+                    cnt += xm32_(f & v[w]);
+                    if (cnt > 255) break;
+                }
+                counts[cur + j] = cnt > 255 ? 255 : cnt;
+            }
+        }
+    };
+    if (n_threads <= 1 || total < 65536) {
+        work(0, n_sel);
+    } else {
+        std::vector<std::thread> ts;
+        i64 k0 = 0;
+        for (i32 t = 1; t <= n_threads && k0 < n_sel; ++t) {
+            i64 want = total * t / n_threads;
+            i64 k1 = (t == n_threads)
+                ? n_sel
+                : (std::upper_bound(pre.begin(), pre.end(), want)
+                   - pre.begin() - 1);
+            if (k1 > k0) { ts.emplace_back(work, k0, k1); k0 = k1; }
+        }
+        for (auto& t : ts) t.join();
+    }
+    return total;
+}
+
+// Fused alphabet-map + 2-bit pack of a reference plane (refbase.cpp:58-101
+// behavior): chars go through a 256-entry code table and pack 16 bases per
+// u32 word, first base in bits 31:30.  reverse=1 reads chars back-to-front
+// (the RC plane packs the padded sequence reversed through the complement
+// table).  n must be a multiple of 16.
+extern "C" i64 bt_pack_ref(const u8* chars, i64 n, const u8* table,
+                           i32 reverse, u32* out, i32 n_threads)
+{
+    const i64 nwords = n / 16;
+    auto work = [&](i64 w0, i64 w1) {
+        if (!reverse) {
+            for (i64 w = w0; w < w1; ++w) {
+                const u8* c = chars + w * 16;
+                u32 v = 0;
+                for (int j = 0; j < 16; ++j) v = (v << 2) | table[c[j]];
+                out[w] = v;
+            }
+        } else {
+            for (i64 w = w0; w < w1; ++w) {
+                const u8* c = chars + (n - 1 - w * 16);
+                u32 v = 0;
+                for (int j = 0; j < 16; ++j) v = (v << 2) | table[*(c - j)];
+                out[w] = v;
+            }
+        }
+    };
+    if (n_threads <= 1 || nwords < 1 << 16) {
+        work(0, nwords);
+    } else {
+        std::vector<std::thread> ts;
+        i64 per = (nwords + n_threads - 1) / n_threads;
+        for (i32 t = 0; t < n_threads; ++t) {
+            i64 a = t * per, b = std::min(nwords, a + per);
+            if (a < b) ts.emplace_back(work, a, b);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return nwords;
+}
+
+// CSR seed-index build (RefSeq::CalKmerFreq/AllocIndex/FillIndex,
+// refbase.cpp:254-448) as a counting sort: seed per probed position, dense
+// histogram over the 3^s key space, prefix sum, stable scatter (ascending
+// input order = chain-0 entries before chain-1, each in traversal order —
+// the reference's two-thread fill layout).  pos arrays hold anchored base
+// coords; seeds use the XT 3-letter collapse (param.h:107-116) packed
+// base-3, first base most significant, truncated to seed_size digits.
+// starts/counts/n1 must arrive zero-filled.
+extern "C" i64 bt_build_seed_index(
+    const u32* ref0, const u32* ref1, i64 nw,
+    const i64* pos0, i64 n0, const i64* pos1, i64 n1_,
+    i32 seed_size, i64 nk,
+    i64* starts, i32* counts, i32* n1, u32* locs, i32 n_threads)
+{
+    const i64 n = n0 + n1_;
+    // byte LUT: 4 packed 2-bit codes -> base-3 value of the 4 collapsed
+    // digits (code 3 collapses to 1)
+    u32 lut[256];
+    for (int b = 0; b < 256; ++b) {
+        u32 v = 0;
+        for (int j = 3; j >= 0; --j) {
+            u32 c = ((u32)b >> (2 * j)) & 3u;
+            if (c == 3u) c = 1u;
+            v = v * 3u + c;
+        }
+        lut[b] = v;
+    }
+    u32 div = 1;
+    for (i32 j = 0; j < 16 - seed_size; ++j) div *= 3u;
+    std::vector<u32> seeds(n);
+    auto seed_at = [&](const u32* R, i64 p) -> u32 {
+        i64 w = p >> 4;
+        u32 sh = (u32)(p & 15);
+        u64 d = ((u64)R[w] << 32) | R[w + 1];
+        u32 win = (u32)(d >> (32 - 2 * sh)) ;
+        u32 v = ((lut[(win >> 24) & 0xFF] * 81u + lut[(win >> 16) & 0xFF])
+                 * 81u + lut[(win >> 8) & 0xFF]) * 81u + lut[win & 0xFF];
+        return v / div;
+    };
+    auto work = [&](i64 a, i64 b) {
+        for (i64 i = a; i < b; ++i)
+            seeds[i] = (i < n0) ? seed_at(ref0, pos0[i])
+                                : seed_at(ref1, pos1[i - n0]);
+    };
+    if (n_threads <= 1 || n < 65536) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> ts;
+        i64 per = (n + n_threads - 1) / n_threads;
+        for (i32 t = 0; t < n_threads; ++t) {
+            i64 a = t * per, b = std::min(n, a + per);
+            if (a < b) ts.emplace_back(work, a, b);
+        }
+        for (auto& t : ts) t.join();
+    }
+    for (i64 i = 0; i < n; ++i) counts[seeds[i]]++;
+    for (i64 i = 0; i < n0; ++i) n1[seeds[i]]++;
+    i64 acc = 0;
+    for (i64 k = 0; k < nk; ++k) { acc += counts[k]; starts[k] = acc; }
+    // stable scatter, descending input order: each slot cursor walks back
+    // from its end, so equal keys keep ascending input order and the cursor
+    // finishes at the slot begin — starts needs no separate temp
+    for (i64 i = n - 1; i >= 0; --i)
+        locs[--starts[seeds[i]]] = (u32)((i < n0) ? pos0[i]
+                                                  : pos1[i - n0]);
+    for (i64 k = 0; k < nk; ++k)
+        if (!counts[k]) starts[k] = 0;  // python twin zero-fills empty slots
+    return n;
+}
