@@ -38,6 +38,14 @@ from .sam import SamEmitter, sam_header
 HOST_EVAL_MIN = 2_000_000
 
 
+def _inline_tail_enabled() -> bool:
+    """Whether the scan may evaluate unmaterialized candidates on the host
+    at visit time (BASAL_TPU_HOST_EVAL=0 forces all evaluation onto the
+    device, reverting to ladder waves)."""
+    import os
+    return os.environ.get("BASAL_TPU_HOST_EVAL", "auto") != "0"
+
+
 def host_eval_policy(params: AlignParams, n_cands: int) -> bool:
     """True when this wave should run on the host SIMD evaluator instead of
     the device (BASAL_TPU_HOST_EVAL=0/1 forces; default adaptive)."""
@@ -423,6 +431,22 @@ class SingleEndAligner:
             sel = np.flatnonzero((groups[:, 2] == lim)
                                  & incomplete[read_of_group])
             n2 = int(groups[sel, 6].sum())  # column 6 = group size
+            n_inc = int(incomplete.sum())
+            if (self.p.gap == 0 and _inline_tail_enabled()
+                    and (n2 < 1_000_000 or n2 > 2_000 * n_inc)):
+                # tail wave is either tiny (not worth a bulk round trip) or
+                # mega-groups serving few reads (bulk evaluation would be
+                # mostly wasted past the scan's abort points): finish with
+                # ONE replay that evaluates the remaining candidates at
+                # visit time inside the scan
+                filt = np.ascontiguousarray(enc.filtered | done, np.uint8)
+                res = self.native.replay_se(
+                    enc, groups, goff, loc_buf, plane, cnt_buf,
+                    pos0_buf, pos1_buf, mode_limit=99,
+                    filtered_override=filt, counts_off=off,
+                    inline_eval=True)
+                waves.append((~done, res))
+                return self._emit_native(enc, waves)
             self.total_candidates += n2
             _grow(cur + n2)
             if n2 and self._host_eval_policy(n2):

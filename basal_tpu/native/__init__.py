@@ -273,9 +273,43 @@ class NativeBatch:
             _p(loc_out, ctypes.c_int32), _p(cnt_out, ctypes.c_int32),
             _p(off, ctypes.c_int64), ctypes.c_int32(n_threads))
 
+    def _eval_args(self, enc, enable):
+        """ctypes args for the scan's on-demand candidate evaluation (see
+        EvalCtx in engine.cpp); all-null when disabled."""
+        if not enable:
+            return [None, ctypes.c_int64(0), None, None, None, None,
+                    ctypes.c_int32(0), ctypes.c_int32(0), None,
+                    ctypes.c_int32(0), None, None]
+        p = self.p
+        B = len(enc.reads)
+        mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
+            "nt3" if p.nt3 else
+            ("oneway" if p.rule.one_way else "multiway")]
+        sv = getattr(enc, "_sv_cache", None)
+        if sv is None or sv.shape[0] != B * 2:
+            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1),
+                                      np.uint32)
+            enc._sv_cache = sv
+        ncnt = getattr(enc, "_ncnt2_cache", None)
+        if ncnt is None:
+            ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32)
+            enc._ncnt2_cache = ncnt
+        self._ev_keep = (sv, ncnt)
+        ref32 = self.ref.ref32
+        return [
+            ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(ref32.shape[1]),
+            _p(enc.base, ctypes.c_uint32), _p(enc.valid, ctypes.c_uint32),
+            _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
+            ctypes.c_int32(enc.W), ctypes.c_int32(mode),
+            _p(sv, ctypes.c_uint32), ctypes.c_int32(sv.shape[1]),
+            _p(self.index.starts, ctypes.c_int64),
+            _p(self.index.locs, ctypes.c_uint32)]
+
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
-                  filtered_override=None, counts_off=None):
+                  filtered_override=None, counts_off=None,
+                  inline_eval=False):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
@@ -313,6 +347,7 @@ class NativeBatch:
                 ctypes.c_int32(1 if p.nt3 else 0),
                 ctypes.c_int32(mode_limit),
                 _p(counts_off, ctypes.c_int64),
+                *self._eval_args(enc, inline_eval),
                 _p(out_stratum, ctypes.c_int32), _p(out_n0, ctypes.c_int32),
                 _p(out_n1, ctypes.c_int32),
                 ctypes.c_int64(hit_cap),
@@ -326,10 +361,16 @@ class NativeBatch:
                 hit_chr, hit_loc, hit_gsz, hit_gpos, hit_chain, hoff)
 
 
-def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
+def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
+              mode_limit=99, counts_off_a=None, counts_off_b=None,
+              filtered_a=None, filtered_b=None, index=None):
     """C++ PE lockstep replay (bt_replay_pe).  Returns
     (paired, pair_cnt, pair_data, pair_offsets,
-     (stat, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) x 2)."""
+     (stat, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) x 2).
+    With mode_limit, pairs that would scan modes >= limit report
+    paired == -2 (ladder wave incomplete); counts_off_* map logical group
+    offsets to compact per-wave buffers; filtered_* override the encoded
+    filter flags (resolved reads are masked out on later waves)."""
     lib = get_lib()
     p = params
     B = len(enc_a.reads)
@@ -337,7 +378,7 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
     rc_off = np.array([t.rc_offset for t in ref.titles], np.int64)
     sizes = np.array([t.size for t in ref.titles], np.int64)
 
-    def prep(enc, cand, res):
+    def prep(enc, cand, res, filt_ov):
         counts, pos0, pos1 = res
         return dict(
             groups=np.ascontiguousarray(cand[3], np.int64),
@@ -350,10 +391,53 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
             loc=np.ascontiguousarray(cand[0], np.int32),
             map_len=enc.map_len, rms=enc.read_max_snp,
             seedseg=enc.seedseg_num,
-            filt=np.ascontiguousarray(enc.filtered, np.uint8))
+            filt=np.ascontiguousarray(
+                enc.filtered if filt_ov is None else filt_ov, np.uint8))
 
-    A = prep(enc_a, cand_a, res_a)
-    Bd = prep(enc_b, cand_b, res_b)
+    A = prep(enc_a, cand_a, res_a, filtered_a)
+    Bd = prep(enc_b, cand_b, res_b, filtered_b)
+    coff_a = (np.ascontiguousarray(counts_off_a, np.int64)
+              if counts_off_a is not None else None)
+    coff_b = (np.ascontiguousarray(counts_off_b, np.int64)
+              if counts_off_b is not None else None)
+
+    # on-demand eval tables (groups left at counts_off -1 are evaluated at
+    # visit time); enabled by passing the seed index
+    ev_shared = [None, ctypes.c_int64(0), None, None, ctypes.c_int32(0)]
+    ev_ends = {id(enc_a): [None] * 7, id(enc_b): [None] * 7}
+    keep = []
+    if index is not None:
+        mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
+            "nt3" if p.nt3 else
+            ("oneway" if p.rule.one_way else "multiway")]
+        ev_shared = [
+            ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(ref.ref32.shape[1]),
+            _p(index.starts, ctypes.c_int64),
+            _p(index.locs, ctypes.c_uint32), ctypes.c_int32(mode)]
+        for enc in (enc_a, enc_b):
+            nb = len(enc.reads)
+            sv = getattr(enc, "_sv_cache", None)
+            if sv is None or sv.shape[0] != nb * 2:
+                sv = np.ascontiguousarray(enc.seedval.reshape(nb * 2, -1),
+                                          np.uint32)
+                enc._sv_cache = sv
+            ncnt = getattr(enc, "_ncnt2_cache", None)
+            if ncnt is None:
+                ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2),
+                                            np.int32)
+                enc._ncnt2_cache = ncnt
+            keep.append((sv, ncnt))
+            ev_ends[id(enc)] = [
+                _p(enc.base, ctypes.c_uint32),
+                _p(enc.valid, ctypes.c_uint32),
+                _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
+                ctypes.c_int32(enc.W), _p(sv, ctypes.c_uint32),
+                ctypes.c_int32(sv.shape[1])]
+    else:
+        z32 = ctypes.c_int32(0)
+        for k in ev_ends:
+            ev_ends[k] = [None, None, None, None, z32, None, z32]
 
     pair_cap = max(B * 4, 4096)
     hit_cap = max(B * 8, 4096)
@@ -391,6 +475,9 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b):
                  ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
                  ctypes.c_int32(1 if p.nt3 else 0),
                  ctypes.c_int64(p.min_insert), ctypes.c_int64(p.max_insert),
+                 ctypes.c_int32(mode_limit),
+                 _p(coff_a, ctypes.c_int64), _p(coff_b, ctypes.c_int64),
+                 *ev_shared, *ev_ends[id(enc_a)], *ev_ends[id(enc_b)],
                  _p(out_paired, ctypes.c_int32),
                  _p(out_pair_cnt, ctypes.c_int32),
                  ctypes.c_int64(pair_cap), _p(pair_data, ctypes.c_int32),

@@ -258,13 +258,70 @@ i64 bt_fill_groups(
 // ---- scan-state machinery shared by the SE and PE replays ----------------
 // (kept inside extern "C" but with internal linkage via static)
 
+// On-demand candidate evaluation context (nullable).  When a group was
+// never bulk-materialized (counts_off[gi] < 0), the scan computes each
+// candidate's mismatch count AT VISIT TIME with these tables — so the
+// scan's own abort logic (w-caps, pigeonhole stop, max_num_hits) bounds
+// the evaluated volume exactly like the reference's per-candidate extension
+// (align.cpp:274-316), instead of eagerly evaluating whole mega-groups.
+// Ungapped only (no mismatch-position lists).
+struct EvalCtx {
+    const u32* ref32;                     // [2, nw] both planes
+    i64 nw;
+    const u32 *baseP, *validP, *mreadP;   // [2B, W] read planes
+    const i32* ncnt;                      // [2B] N-count additive term
+    i32 W, mode;                          // 0 oneway, 1 multiway, 2 nt3
+    const u32* seedval;                   // [2B, S]
+    i32 S;
+    const i64* starts;                    // index CSR
+    const u32* locs;
+};
+
 struct RefCtx {
     const i64 *anchors, *rc_off, *sizes;
     i32 n_chr;
     const i32 *counts_dev, *pos0, *pos1;
     const i32* cand_loc;
     i32 seed_size, gap, gap_edge, max_num_hits, nt3;
+    const EvalCtx* ev = nullptr;
 };
+
+static inline u32 sxc32_(u32 t) { return ((~t) << 1) | t | 0x55555555u; }
+static inline u32 sm2j_(u32 t) {
+    return t & (((t & 0xAAAAAAAAu) >> 1) | ((t & 0x55555555u) << 1));
+}
+static inline u32 sxt32_(u32 t) { return t - ((t << 1) & t & 0xAAAAAAAAu); }
+static inline i32 sxm32_(u32 t) {
+    u32 x = (t | (t >> 1)) & 0x55555555u;
+    x = (x + (x >> 2)) & 0x33333333u;
+    x = (x + (x >> 4)) & 0x0F0F0F0Fu;
+    return (i32)((x * 0x01010101u) >> 24);
+}
+
+static inline i32 eval_cand(const EvalCtx* ev, i32 lc, int plane, i64 r) {
+    const u32* R = ev->ref32 + (plane ? ev->nw : 0) + (lc >> 4);
+    u32 sh = ((u32)lc & 15u) << 1;
+    const u32* b = ev->baseP + r * ev->W;
+    const u32* v = ev->validP + r * ev->W;
+    const u32* mr = ev->mreadP + r * ev->W;
+    i32 cnt = ev->ncnt[r];
+    for (i32 w = 0; w < ev->W; ++w) {
+        u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
+        u32 f;
+        if (ev->mode == 0) {
+            f = (b[w] & sxc32_(a)) ^ a;
+        } else if (ev->mode == 1) {
+            u32 m2 = sxc32_(a) | mr[w];
+            u32 m3 = sm2j_(m2);
+            f = (((~m3) & m2) | (m3 & b[w])) ^ a;
+        } else {
+            f = b[w] ^ sxt32_(a);
+        }
+        cnt += sxm32_(f & v[w]);
+        if (cnt > 255) break;
+    }
+    return cnt > 255 ? 255 : cnt;
+}
 
 struct H { i32 chr, loc, gsz, gpos; };
 
@@ -363,6 +420,29 @@ struct ScanState {
             if (g.mode != mode) continue;
             i64 cbase = counts_off ? counts_off[gi] : g.start;
             i64 m = g.m, jj = g.jj0;
+            if (cbase < 0) {
+                // group never bulk-materialized: evaluate at visit time
+                // (cx->ev must be set; ungapped scans only)
+                const EvalCtx* ev = cx->ev;
+                i64 r2 = g.read * 2 + g.chain;
+                u32 sd = ev->seedval[r2 * ev->S + g.h];
+                const u32* lp = ev->locs + ev->starts[sd];
+                for (i64 it = 0; it < m; ++it) {
+                    int plane = jj > g.mc ? 1 : 0;
+                    i32 lc = (i32)((i64)lp[jj] - g.h);
+                    i32 cnt = eval_cand(ev, lc, plane, r2);
+                    if (cnt <= snp_thres) {
+                        H h;
+                        resolve(lc, plane, 0, 0, h);
+                        if (add_hit((int)g.chain, cnt, h)) {
+                            last_abort = true;
+                            return;
+                        }
+                    }
+                    if (++jj >= m) jj -= m;
+                }
+                continue;
+            }
             for (i64 it = 0; it < m; ++it) {
                 i64 ci = cbase + jj;
                 int plane = jj > g.mc ? 1 : 0;
@@ -453,6 +533,13 @@ i64 bt_replay_se(
     i32 mode_limit,             // scan only modes < limit; reads that would
                                 // continue past it report stratum -2
     const i64* counts_off,      // nullable: lazy compact-buffer offsets
+    // nullable on-demand eval tables: groups with counts_off[gi] < 0 are
+    // evaluated at visit time (ungapped; see EvalCtx)
+    const u32* ev_ref32, i64 ev_nw,
+    const u32* ev_base, const u32* ev_valid, const u32* ev_mread,
+    const i32* ev_ncnt, i32 ev_W, i32 ev_mode,
+    const u32* ev_seedval, i32 ev_S,
+    const i64* ev_starts, const u32* ev_locs,
     // outputs
     i32* out_stratum, i32* out_n0, i32* out_n1,
     i64 hit_cap,
@@ -462,6 +549,9 @@ i64 bt_replay_se(
     (void)cand_plane;
     RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
               seed_size, gap, gap_edge, max_num_hits, nt3};
+    EvalCtx ev{ev_ref32, ev_nw, ev_base, ev_valid, ev_mread, ev_ncnt,
+               ev_W, ev_mode, ev_seedval, ev_S, ev_starts, ev_locs};
+    if (ev_ref32) cx.ev = &ev;
     ScanState sc;
     i64 hw = 0;
     for (i32 r = 0; r < B; ++r) {
@@ -563,6 +653,17 @@ i64 bt_replay_pe(
     const i64* anchors, i32 n_chr, const i64* rc_off, const i64* sizes,
     i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
     i64 min_insert, i64 max_insert,
+    i32 mode_limit,             // scan only modes < limit; pairs that would
+                                // continue past it report out_paired -2
+    const i64* counts_off_a,    // nullable: lazy compact-buffer offsets
+    const i64* counts_off_b,
+    // nullable on-demand eval tables (shared genome/index; per-end planes)
+    const u32* ev_ref32, i64 ev_nw,
+    const i64* ev_starts, const u32* ev_locs, i32 ev_mode,
+    const u32* ev_base_a, const u32* ev_valid_a, const u32* ev_mread_a,
+    const i32* ev_ncnt_a, i32 ev_W_a, const u32* ev_seedval_a, i32 ev_S_a,
+    const u32* ev_base_b, const u32* ev_valid_b, const u32* ev_mread_b,
+    const i32* ev_ncnt_b, i32 ev_W_b, const u32* ev_seedval_b, i32 ev_S_b,
     // pair outputs
     i32* out_paired,            // [B] RunAlign return (0/1/n)
     i32* out_pair_cnt,          // [B] count in first nonempty bucket
@@ -581,6 +682,13 @@ i64 bt_replay_pe(
                cand_loc_a, seed_size, gap, gap_edge, max_num_hits, nt3};
     RefCtx cxb{anchors, rc_off, sizes, n_chr, counts_b, pos0_b, pos1_b,
                cand_loc_b, seed_size, gap, gap_edge, max_num_hits, nt3};
+    EvalCtx eva{ev_ref32, ev_nw, ev_base_a, ev_valid_a, ev_mread_a,
+                ev_ncnt_a, ev_W_a, ev_mode, ev_seedval_a, ev_S_a,
+                ev_starts, ev_locs};
+    EvalCtx evb{ev_ref32, ev_nw, ev_base_b, ev_valid_b, ev_mread_b,
+                ev_ncnt_b, ev_W_b, ev_mode, ev_seedval_b, ev_S_b,
+                ev_starts, ev_locs};
+    if (ev_ref32) { cxa.ev = &eva; cxb.ev = &evb; }
     ScanState sa, sb;
     std::vector<PairRec> pairhits[2 * MAXSNPS + 1];
     i64 pw = 0, hwa = 0, hwb = 0;
@@ -592,18 +700,29 @@ i64 bt_replay_pe(
         stat_a[r] = -1; stat_b[r] = -1;
         n0_a[r] = n1_a[r] = n0_b[r] = n1_b[r] = 0;
         bool fa = filtered_a[r], fb = filtered_b[r];
-        if (!fa)
+        if (!fa) {
             sa.init(&cxa, groups_a, goff_a[r], goff_a[r + 1], map_len_a[r],
                     rms_a[r], seedseg_a[r]);
-        if (!fb)
+            sa.counts_off = counts_off_a;
+        }
+        if (!fb) {
             sb.init(&cxb, groups_b, goff_b[r], goff_b[r + 1], map_len_b[r],
                     rms_b[r], seedseg_b[r]);
+            sb.counts_off = counts_off_b;
+        }
         i32 paired = 0;
+        bool incomplete = false;
         if (!fa && !fb) {
             for (int i = 0; i <= 2 * MAXSNPS; ++i) pairhits[i].clear();
             i32 n = 0;
             i32 maxi = std::max(sa.rms, sb.rms);
             for (i32 i = 0; i <= maxi; ++i) {
+                // mode i needs its candidates materialized on any end that
+                // still has segment i to scan
+                if (i >= mode_limit && (i < sa.segnum || i < sb.segnum)) {
+                    incomplete = true;
+                    break;
+                }
                 sa.step_mode(i);
                 sb.step_mode(i);
                 sa.sort_bucket(i);
@@ -620,6 +739,7 @@ i64 bt_replay_pe(
                 if (n > 0) { paired = 1; break; }
             }
             if (!paired) paired = n;
+            if (incomplete) { out_paired[r] = -2; continue; }
             if (paired) {
                 for (int i = 0; i <= 2 * MAXSNPS; ++i) {
                     if (pairhits[i].empty()) continue;
@@ -640,8 +760,23 @@ i64 bt_replay_pe(
                 }
             }
         } else {
-            if (!fa) sa.run_all();
-            if (!fb) sb.run_all();
+            // orphan end: SE-style scan, truncated at mode_limit
+            auto run_lim = [&](ScanState& s) {
+                i32 lim = std::min(s.segnum, mode_limit);
+                bool stopped = false;
+                for (i32 mode = 0; mode < lim; ++mode) {
+                    s.step_mode(mode);
+                    if (s.last_abort) { stopped = true; break; }
+                    if (!cxa.nt3 && s.has_hits_le(mode)) {
+                        stopped = true;
+                        break;
+                    }
+                }
+                if (!stopped && s.segnum > mode_limit) incomplete = true;
+            };
+            if (!fa) run_lim(sa);
+            if (!fb) run_lim(sb);
+            if (incomplete) { out_paired[r] = -2; continue; }
         }
         out_paired[r] = paired;
         if (!fa) {

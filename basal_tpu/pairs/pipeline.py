@@ -270,7 +270,11 @@ class PairEndAligner:
             enc_probe = encode_batch(p, probe_reads)
             _, _, total = self.native_a.build_groups(enc_probe, ridx)
             self.native_a.state[:] = state0
-            if total > self.MAX_BATCH_CANDS:
+            if (p.gap == 0 and total and host_eval_policy(p, total)):
+                # the strata ladder bounds evaluated volume itself; no need
+                # to split the batch for eager-table memory
+                pass
+            elif total > self.MAX_BATCH_CANDS:
                 n_split = -(-int(total) // self.MAX_BATCH_CANDS)
                 step = max(256, len(reads_a) // n_split)
                 out = []
@@ -332,33 +336,75 @@ class PairEndAligner:
                     (fa, fb), out)
         return "".join(out)
 
+    def _pe_lazy(self, built):
+        """Lazy PE evaluation for repeat-heavy references: bulk-materialize
+        and host-evaluate only the mode-0 groups (the regular, vectorizable
+        volume), then run ONE lockstep replay where every other candidate is
+        evaluated at visit time inside the C++ scan (counts_off -1 + the
+        EvalCtx tables) — the scan's w-caps/pigeonhole stops bound the
+        evaluated volume exactly like the reference's per-candidate
+        extension."""
+        from ..native import replay_pe
+        p = self.p
+        enc_a, enc_b = built[0][0], built[1][0]
+        B = len(enc_a.reads)
+        st = []
+        for enc, nat, groups, goff in built:
+            ng = groups.shape[0]
+            off = np.full(ng, -1, np.int64)
+            sel = np.flatnonzero(groups[:, 2] < 1)
+            n0 = int(groups[sel, 6].sum())
+            locb = np.empty(n0, np.int32)
+            cntb = np.empty(n0, np.int32)
+            if n0:
+                nat.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
+                                     locb, cntb)
+            st.append((locb, cntb, off))
+        out1 = replay_pe(
+            p, self.ref,
+            enc_a, (st[0][0], None, None, built[0][2], built[0][3]),
+            (st[0][1], None, None),
+            enc_b, (st[1][0], None, None, built[1][2], built[1][3]),
+            (st[1][1], None, None),
+            counts_off_a=st[0][2], counts_off_b=st[1][2], index=self.index)
+        return [(np.ones(B, bool), out1)]
+
     def _align_batch_native(self, enc_a, enc_b) -> str:
         from ..align.replay import ReadResult
         from ..native import replay_pe
         p = self.p
-        cand = []
-        res = []
+        B = len(enc_a.reads)
+        built = []
+        total_all = 0
         for enc, nat in ((enc_a, self.native_a), (enc_b, self.native_b)):
             ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
-            c = nat.build_candidates(enc, ridx)
-            cand.append(c)
-            if not c[0].size:
-                res.append(None)
-            elif host_eval_policy(p, c[0].size):
-                from ..native import host_eval_candidates
-                counts = host_eval_candidates(p, self.ref, enc, c[0],
-                                              c[1], c[2])
-                res.append(("host", counts))
-            else:
-                res.append(self.dev.extend_async(
-                    enc, c[0], c[1].astype(np.int32), c[2]))
-        fetched = [(h[1].astype(np.int32), None, None)
-                   if isinstance(h, tuple) and h[0] == "host"
-                   else self.dev.fetch(h) if h is not None
-                   else (np.zeros(0, np.int32), None, None) for h in res]
-        paired, pcnt, pdata, poff, ends = replay_pe(
-            p, self.ref, enc_a, cand[0], fetched[0],
-            enc_b, cand[1], fetched[1])
+            groups, goff, total = nat.build_groups(enc, ridx)
+            built.append((enc, nat, groups, goff))
+            total_all += int(total)
+
+        if p.gap == 0 and total_all and host_eval_policy(p, total_all):
+            waves = self._pe_lazy(built)
+        else:
+            cand, handles = [], []
+            for enc, nat, groups, goff in built:
+                ng = groups.shape[0]
+                off = np.empty(ng, np.int64)
+                loc, plane, row = nat.fill_groups(enc, groups,
+                                                  np.arange(ng), off)
+                cand.append((loc, None, None, groups, goff))
+                handles.append(
+                    self.dev.extend_async(enc, loc, plane.astype(np.int32),
+                                          row) if loc.size else None)
+            fetched = [self.dev.fetch(h) if h is not None
+                       else (np.zeros(0, np.int32), None, None)
+                       for h in handles]
+            out1 = replay_pe(p, self.ref, enc_a, cand[0], fetched[0],
+                             enc_b, cand[1], fetched[1])
+            waves = [(np.ones(B, bool), out1)]
+
+        wave_of = np.zeros(B, np.int32)
+        for wi, (newly, _) in enumerate(waves):
+            wave_of[newly] = wi
 
         def end_result(e, i):
             if e["stat"][i] < 0:
@@ -373,6 +419,8 @@ class PairEndAligner:
         out: List[str] = []
         pair_reported = 0
         for i in range(len(enc_a.reads)):
+            # read i's outputs live in the wave that resolved it
+            paired, pcnt, pdata, poff, ends = waves[wave_of[i]][1]
             ra, rb = enc_a.reads[i], enc_b.reads[i]
             fa, fb = bool(enc_a.filtered[i]), bool(enc_b.filtered[i])
             ra.name, rb.name = fix_pair_read_name(ra.name, rb.name)
