@@ -88,6 +88,15 @@ class DeviceContext:
         self.mode = _mode_name(params)
         # opt-in Pallas count core (ungapped); see ops/extend_pallas.py
         self.use_pallas = bool(os.environ.get("BASAL_TPU_PALLAS"))
+        # measured dispatch->fetch wall time (adaptive placement input)
+        self.meas_t = 0.0
+        self.meas_n = 0
+
+    @property
+    def cost_per_cand(self):
+        """Measured seconds per candidate through this device+link, or None
+        until a wave of at least 16k candidates has been fetched."""
+        return self.meas_t / self.meas_n if self.meas_n else None
 
     def _extend_async_one(self, enc: EncodedBatch, loc, plane, row):
         """Dispatch the extension kernel; returns (C, device result) without
@@ -172,17 +181,25 @@ class DeviceContext:
 
     def extend_async(self, enc, loc, plane, row):
         C = loc.shape[0]
+        t0 = time.time()
         if C <= self.CHUNK:
-            return [self._extend_async_one(enc, loc, plane, row)]
+            return [self._extend_async_one(enc, loc, plane, row) + (t0,)]
         return [self._extend_async_one(enc, loc[i:i + self.CHUNK],
                                        plane[i:i + self.CHUNK],
-                                       row[i:i + self.CHUNK])
+                                       row[i:i + self.CHUNK]) + (t0,)
                 for i in range(0, C, self.CHUNK)]
 
     def fetch(self, handles, _res=None):
         if _res is not None:            # legacy (C, res) call style
-            handles = [(handles, _res)]
-        outs = [self._fetch_one(C, res) for C, res in handles]
+            handles = [(handles, _res, None)]
+        outs = []
+        for C, res, t0 in handles:
+            outs.append(self._fetch_one(C, res))
+            if t0 is not None and C >= 16384:
+                # dispatch -> results-on-host wall time per candidate: the
+                # measured link+device cost that drives adaptive placement
+                self.meas_t += time.time() - t0
+                self.meas_n += C
         if len(outs) == 1:
             return outs[0]
         counts = np.concatenate([o[0] for o in outs])
@@ -212,6 +229,8 @@ class SingleEndAligner:
         self.rng = MyRand(params.randseed)
         self.sched = SeedScheduler(params, index, self.rng)
         self._dev = None  # lazy: host-only runs must never claim a device
+        self._host_t = 0.0  # measured host-evaluator wall (s) / candidates
+        self._host_n = 0
         self.replayer = Replayer(params, ref, self.rng)
         rrbs_fn = None
         if params.rrbs_flag:
@@ -282,8 +301,12 @@ class SingleEndAligner:
             # fused wave-1 materialize + host evaluation (no fill/copy pass)
             loc = np.empty(n1c, np.int32)
             cnt = np.empty(n1c, np.int32)
+            t0 = time.time()
             self.native.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
                                          loc, cnt)
+            if n1c >= 16384:
+                self._host_t += time.time() - t0
+                self._host_n += n1c
             self.total_candidates += n1c
             return ("native", enc, groups, goff, off, (loc, None, None),
                     ("host", cnt), None, eff)
@@ -294,7 +317,32 @@ class SingleEndAligner:
                 handle, uinv, eff)
 
     def _host_eval_policy(self, n_cands: int) -> bool:
+        """Measured adaptive placement: beyond the static rules, once the
+        device+link cost has been observed (cost_per_cand from real waves),
+        probe the host evaluator once and from then on route each wave to
+        whichever path measured cheaper per candidate.  On a locally
+        attached chip the device wins and stays; through a slow tunnel the
+        host wins.  Forced modes / gap>0 short-circuit in
+        host_eval_policy."""
+        import os
+        if (os.environ.get("BASAL_TPU_HOST_EVAL", "auto") == "auto"
+                and self.p.gap == 0 and n_cands <= HOST_EVAL_MIN
+                and self._dev is not None):
+            dev_cost = self._dev.cost_per_cand
+            if dev_cost is not None:
+                if self._host_n == 0:
+                    return n_cands >= 16384  # one measured host probe
+                return self._host_t / self._host_n < 0.7 * dev_cost
         return host_eval_policy(self.p, n_cands)
+
+    def _host_eval_timed(self, enc, loc, plane, row):
+        from ..native import host_eval_candidates
+        t0 = time.time()
+        counts = host_eval_candidates(self.p, self.ref, enc, loc, plane, row)
+        if loc.size >= 16384:
+            self._host_t += time.time() - t0
+            self._host_n += loc.size
+        return counts
 
     def _dispatch_unique(self, enc, loc, plane, row):
         """Dedup identical (row, loc, plane) candidates before evaluation
@@ -306,10 +354,7 @@ class SingleEndAligner:
         # re-evaluate (~2 ns) than to dedup (sort-based np.unique), so the
         # dedup step only runs for device dispatch
         if self._host_eval_policy(loc.size):
-            from ..native import host_eval_candidates
-            counts = host_eval_candidates(self.p, self.ref, enc, loc,
-                                          plane, row)
-            return ("host", counts), None
+            return ("host", self._host_eval_timed(enc, loc, plane, row)), None
 
         def dispatch(l, p_, r):
             return self.dev.extend_async(enc, l, p_.astype(np.int32), r)
@@ -451,9 +496,13 @@ class SingleEndAligner:
             _grow(cur + n2)
             if n2 and self._host_eval_policy(n2):
                 # fused C++ materialize + evaluate straight into the tail
+                t0 = time.time()
                 self.native.fill_eval_groups(
                     enc, self.ref, groups, sel, off, cur,
                     loc_buf[cur:cur + n2], cnt_buf[cur:cur + n2])
+                if n2 >= 16384:
+                    self._host_t += time.time() - t0
+                    self._host_n += n2
                 cur += n2
             elif n2:
                 loc2, plane2, row2 = self.native.fill_groups(

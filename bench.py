@@ -106,30 +106,29 @@ def ensure_oracle():
 
 
 def time_oracle(oracle, ref, reads, workdir):
-    """Single-thread reference reads/s: steady-state slope between a
-    half-read run and a full run (both warm-cache; startup cancels)."""
+    """Single-thread reference reads/s, align-only: min-of-2 full runs minus
+    min-of-2 startup runs (-E 1 aligns a single read, so it measures ref
+    load + index build + process startup).  min-of-2 suppresses page-cache
+    and scheduler noise; the old half-vs-full slope was numerically unstable
+    when alignment was much cheaper than the index build."""
     base = [str(oracle), "-d", str(ref), "-M", "A:G", "-S", "1", "-V", "0",
             "-p", "1"]
-    half = N_READS // 2
-    # warm the page cache (index alloc + ref) with the half run, then time
-    t0 = time.time()
-    subprocess.run(base + ["-a", str(reads), "-E", str(half),
-                           "-o", str(workdir / "oracle1.sam")],
-                   check=True, capture_output=True)
-    t_half_cold = time.time() - t0
-    t0 = time.time()
-    subprocess.run(base + ["-a", str(reads), "-E", str(half),
-                           "-o", str(workdir / "oracle1.sam")],
-                   check=True, capture_output=True)
-    t_half = time.time() - t0
-    t0 = time.time()
-    subprocess.run(base + ["-a", str(reads), "-o", str(workdir / "oracle.sam")],
-                   check=True, capture_output=True)
-    t_full = time.time() - t0
-    dt = max(t_full - t_half, 1e-3)
-    log(f"oracle wall: half(cold) {t_half_cold:.1f}s half {t_half:.1f}s "
-        f"full {t_full:.1f}s")
-    return (N_READS - half) / dt, t_full, t_half
+
+    def run(extra, out):
+        t0 = time.time()
+        subprocess.run(base + ["-a", str(reads), *extra, "-o",
+                               str(workdir / out)],
+                       check=True, capture_output=True)
+        return time.time() - t0
+
+    run(["-E", "1"], "oracle1.sam")  # cold: warm the page cache
+    t_base = min(run(["-E", "1"], "oracle1.sam") for _ in range(2))
+    t_fulls = [run([], "oracle.sam") for _ in range(2)]
+    t_full = min(t_fulls)
+    dt = max(t_full - t_base, 1e-3)
+    log(f"oracle wall: startup {t_base:.2f}s full {t_fulls} -> "
+        f"align {dt:.2f}s")
+    return N_READS / dt, t_full, t_base
 
 
 def main():
