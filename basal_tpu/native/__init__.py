@@ -53,6 +53,7 @@ def get_lib():
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
     lib.bt_pack_ref.restype = ctypes.c_int64
     lib.bt_build_seed_index.restype = ctypes.c_int64
+    lib.bt_build_groups_mt.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -187,11 +188,11 @@ class NativeBatch:
         ub = int(2 * p.index_interval * int(enc.seedseg_num.sum())) + 1
         groups = np.empty((ub, 9), np.int64)
         goff = np.empty(B + 1, np.int64)
-        total = lib.bt_build_candidates(
-            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(2),
-            None, None, None,
+        total = lib.bt_build_groups_mt(
+            *args_common, _p(self.state, ctypes.c_int32),
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
-            ctypes.byref(ng))
+            ctypes.byref(ng),
+            ctypes.c_int32(min(os.cpu_count() or 1, 8)))
         del sv  # fill_groups re-reads it from enc._sv_cache (per-batch)
         return groups[:int(ng.value)], goff, int(total)
 

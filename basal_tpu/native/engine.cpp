@@ -1281,3 +1281,123 @@ extern "C" i64 bt_build_seed_index(
         if (!counts[k]) starts[k] = 0;  // python twin zero-fills empty slots
     return n;
 }
+
+// Parallel groups-only candidate build.  The per-read scheduler state
+// (xseed start offset) is cross-read sticky ONLY for reads with
+// (L-I+1) % s == 0 (the stale-seed-array quirk: the best-offset search is
+// skipped, so the previous read's offset leaks through).  When no
+// unfiltered read in the batch hits that case, every scheduled read fully
+// overwrites the state before use and the batch is embarrassingly
+// parallel; otherwise fall back to the exact serial build.
+extern "C" i64 bt_build_groups_mt(
+    i32 B, i32 S,
+    const u32* seedval, const u8* has_n, const i32* n_offsets,
+    const i32* map_len, const i32* seedseg, const u8* xflag,
+    const u8* filtered, const u32* read_index,
+    const i64* starts, const i32* counts, const i32* n1, const u32* locs,
+    i32 I, i32 s, i64 max_kmer_num, u32 randseed,
+    const i64* profile, i64 prof_stride,
+    i32* start_offset_state,
+    Group* groups, i64* group_offsets /*[B+1]*/, i64* out_ngroups,
+    i32 n_threads)
+{
+    bool par = n_threads > 1 && B >= 2048;
+    if (par) {
+        for (i32 r = 0; r < B; ++r)
+            if (!filtered[r] && seedseg[r] > 0
+                && (map_len[r] - I + 1) % s == 0) {
+                par = false;
+                break;
+            }
+    }
+    if (!par)
+        return bt_build_candidates(
+            B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
+            filtered, read_index, starts, counts, n1, locs, I, s,
+            max_kmer_num, randseed, profile, prof_stride,
+            start_offset_state, 2, nullptr, nullptr, nullptr,
+            groups, group_offsets, out_ngroups);
+
+    Shared sh{B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
+              filtered, read_index, starts, counts, n1, locs,
+              I, s, 0, 0, 0, 0, max_kmer_num, randseed, profile, prof_stride};
+    i32 T = n_threads;
+    std::vector<std::vector<Group>> lg(T);
+    std::vector<std::vector<i64>> lgoff(T);   // per-read local ng
+    std::vector<i64> lflat(T, 0);
+    std::vector<i32> lstate(T * 2);
+    std::vector<u8> lset(T * 2, 0);
+    i64 per = (B + T - 1) / T;
+    auto work = [&](i32 t) {
+        i32 r0 = (i32)std::min<i64>((i64)t * per, B);
+        i32 r1 = (i32)std::min<i64>(r0 + per, B);
+        auto& gv = lg[t];
+        auto& go = lgoff[t];
+        go.resize(r1 - r0 + 1);
+        i32 st[2] = {start_offset_state[0], start_offset_state[1]};
+        Sched sc[2];
+        std::vector<u32> cc2((i64)2 * S);
+        i64 flat = 0, ng = 0;
+        for (i32 r = r0; r < r1; ++r) {
+            go[r - r0] = ng;
+            if (filtered[r] || seedseg[r] <= 0) continue;
+            schedule_read(sh, r, st, sc, cc2.data());
+            for (int chain = 0; chain < 2; ++chain)
+                if (sc[chain].active && (map_len[r] - I + 1) % s != 0) {
+                    lset[t * 2 + chain] = 1;
+                    lstate[t * 2 + chain] = st[chain];
+                }
+            u32 rv = myrand_hash(read_index[r], randseed);
+            for (int chain = 0; chain < 2; ++chain) {
+                if (!sc[chain].active) continue;
+                const u32* sv = seedval + ((i64)r * 2 + chain) * S;
+                const u32* cc = cc2.data() + (i64)chain * S;
+                for (i32 mode = 0; mode < seedseg[r]; ++mode) {
+                    i32 seg = sc[chain].order[mode];
+                    for (i32 i = 0; i < I; ++i) {
+                        i64 off = profile[seg * prof_stride + i]
+                                  + sc[chain].start_arr[seg] - i;
+                        u32 sd = sv[off];
+                        i64 m = cc[off];
+                        if (m == 0 || m > max_kmer_num) continue;
+                        gv.push_back(Group{r, chain, mode, seg, off, flat, m,
+                                           (i64)n1[sd] - 1,
+                                           (i64)(rv % (u32)m)});
+                        flat += m;
+                        ++ng;
+                    }
+                }
+            }
+        }
+        go[r1 - r0] = ng;
+        lflat[t] = flat;
+    };
+    {
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < T; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    // merge: prefix offsets, copy groups with start/read-offset rebase
+    i64 flat = 0, ng = 0;
+    for (i32 t = 0; t < T; ++t) {
+        i32 r0 = (i32)std::min<i64>((i64)t * per, B);
+        i32 r1 = (i32)std::min<i64>(r0 + per, B);
+        for (i32 r = r0; r < r1; ++r)
+            group_offsets[r] = ng + lgoff[t][r - r0];
+        for (const Group& g : lg[t]) {
+            Group gg = g;
+            gg.start += flat;
+            groups[ng++] = gg;
+        }
+        flat += lflat[t];
+    }
+    group_offsets[B] = ng;
+    for (int chain = 0; chain < 2; ++chain)
+        for (i32 t = T - 1; t >= 0; --t)
+            if (lset[t * 2 + chain]) {
+                start_offset_state[chain] = lstate[t * 2 + chain];
+                break;
+            }
+    *out_ngroups = ng;
+    return flat;
+}
