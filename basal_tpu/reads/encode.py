@@ -122,17 +122,21 @@ def filter_and_trim(params: AlignParams, reads: List[ReadRec]):
 
     map_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
     lmax = max(int(map_len.max(initial=1)), p.seed_size)
-    # one join + one gather instead of 50k per-read buffer copies
+    # one join instead of 50k per-read buffer copies
     flat = np.frombuffer("".join(r.seq for r in reads).encode("latin1"),
                          np.uint8)
-    off = np.zeros(B + 1, np.int64)
-    np.cumsum(map_len, out=off[1:])
-    pos = np.arange(lmax, dtype=np.int64)
-    in_read = pos[None, :] < map_len[:, None]
-    idx = np.minimum(off[:-1, None] + pos[None, :],
-                     max(flat.size - 1, 0))
-    chars = np.where(in_read, flat[idx] if flat.size else np.uint8(0),
-                     np.uint8(ord("N")))
+    if flat.size == B * lmax:
+        # uniform full-length reads: the joined blob IS the char matrix
+        chars = flat.reshape(B, lmax)
+    else:
+        off = np.zeros(B + 1, np.int64)
+        np.cumsum(map_len, out=off[1:])
+        pos = np.arange(lmax, dtype=np.int64)
+        in_read = pos[None, :] < map_len[:, None]
+        idx = np.minimum(off[:-1, None] + pos[None, :],
+                         max(flat.size - 1, 0))
+        chars = np.where(in_read, flat[idx] if flat.size else np.uint8(0),
+                         np.uint8(ord("N")))
 
     ncnt = ((REG_ALPHABET[chars] == 0)
             & (np.arange(lmax)[None, :] < map_len[:, None])).sum(1)
