@@ -51,6 +51,10 @@ def make_data(d: Path):
     stamp = d / f".stamp_{PROFILE}_{GENOME}_{N_READS}_{SEED}"
     if stamp.exists() and ref_p.exists() and fq_p.exists():
         return ref_p, fq_p
+    # ref.fa/reads.fq are shared across configs: purge other configs'
+    # stamps so a stale one can never vouch for the wrong dataset
+    for old in d.glob(".stamp_*"):
+        old.unlink()
     rng = np.random.default_rng(SEED)
     NT = np.frombuffer(b"ACGT", np.uint8)
     if PROFILE == "repeat":
