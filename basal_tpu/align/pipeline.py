@@ -231,6 +231,9 @@ class SingleEndAligner:
         self._dev = None  # lazy: host-only runs must never claim a device
         self._host_t = 0.0  # measured host-evaluator wall (s) / candidates
         self._host_n = 0
+        # per-call C++ thread width; ThreadedRunner divides the cores among
+        # its workers so -p N does not oversubscribe N x 8 threads
+        self.nt_hint = 0  # 0 = auto (all cores)
         self.replayer = Replayer(params, ref, self.rng)
         rrbs_fn = None
         if params.rrbs_flag:
@@ -303,7 +306,8 @@ class SingleEndAligner:
             cnt = np.empty(n1c, np.int32)
             t0 = time.time()
             self.native.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
-                                         loc, cnt)
+                                         loc, cnt,
+                                         n_threads=self.nt_hint)
             if n1c >= 16384:
                 self._host_t += time.time() - t0
                 self._host_n += n1c
@@ -338,7 +342,8 @@ class SingleEndAligner:
     def _host_eval_timed(self, enc, loc, plane, row):
         from ..native import host_eval_candidates
         t0 = time.time()
-        counts = host_eval_candidates(self.p, self.ref, enc, loc, plane, row)
+        counts = host_eval_candidates(self.p, self.ref, enc, loc, plane,
+                                      row, n_threads=self.nt_hint)
         if loc.size >= 16384:
             self._host_t += time.time() - t0
             self._host_n += loc.size
@@ -499,7 +504,8 @@ class SingleEndAligner:
                 t0 = time.time()
                 self.native.fill_eval_groups(
                     enc, self.ref, groups, sel, off, cur,
-                    loc_buf[cur:cur + n2], cnt_buf[cur:cur + n2])
+                    loc_buf[cur:cur + n2], cnt_buf[cur:cur + n2],
+                    n_threads=self.nt_hint)
                 if n2 >= 16384:
                     self._host_t += time.time() - t0
                     self._host_n += n2
@@ -580,8 +586,12 @@ class ThreadedRunner:
 
     def __init__(self, params, ref, index, n_workers: int):
         from concurrent.futures import ThreadPoolExecutor
+        import os
         self.aligners = [SingleEndAligner(params, ref, index)
                          for _ in range(n_workers)]
+        nt = max(1, (os.cpu_count() or 1) // n_workers)
+        for a in self.aligners:
+            a.nt_hint = nt  # divide cores among workers
         self.pool = ThreadPoolExecutor(n_workers)
         self.n = n_workers
         self.i = 0
