@@ -300,7 +300,7 @@ class SingleEndAligner:
         sel = (np.arange(ng) if eff >= 99
                else np.flatnonzero(groups[:, 2] < eff))
         n1c = int(groups[sel, 6].sum())
-        if eff < 99 and n1c and self._host_eval_policy(n1c):
+        if n1c and self.p.gap == 0 and self._host_eval_policy(n1c):
             # fused wave-1 materialize + host evaluation (no fill/copy pass)
             loc = np.empty(n1c, np.int32)
             cnt = np.empty(n1c, np.int32)
