@@ -428,6 +428,13 @@ struct ScanState {
                 u32 sd = ev->seedval[r2 * ev->S + g.h];
                 const u32* lp = ev->locs + ev->starts[sd];
                 for (i64 it = 0; it < m; ++it) {
+                    if (it + 4 < m) {  // hide the ref-window DRAM latency
+                        i64 jp = jj + 4 >= m ? jj + 4 - m : jj + 4;
+                        i32 lcp = (i32)((i64)lp[jp] - g.h);
+                        __builtin_prefetch(
+                            ev->ref32 + (jp > g.mc ? ev->nw : 0)
+                            + (lcp >> 4));
+                    }
                     int plane = jj > g.mc ? 1 : 0;
                     i32 lc = (i32)((i64)lp[jj] - g.h);
                     i32 cnt = eval_cand(ev, lc, plane, r2);
@@ -1129,6 +1136,11 @@ extern "C" i64 bt_fill_eval_groups(
             const i32 nc = ncnt[r];
             const i64 nn1 = n1[sd];
             for (i64 j = 0; j < g.m; ++j) {
+                if (j + 8 < g.m) {  // hide the ref-window DRAM latency
+                    i32 lcp = (i32)((i64)lp[j + 8] - g.h);
+                    __builtin_prefetch(
+                        ref32 + (j + 8 >= nn1 ? nw : 0) + (lcp >> 4));
+                }
                 i32 lc = (i32)((i64)lp[j] - g.h);
                 cand_loc[cur + j] = lc;
                 const u32* R = ref32 + (j >= nn1 ? nw : 0) + (lc >> 4);

@@ -126,8 +126,8 @@ def time_oracle(oracle, ref, reads, workdir):
         return time.time() - t0
 
     run(["-E", "1"], "oracle1.sam")  # cold: warm the page cache
-    t_base = min(run(["-E", "1"], "oracle1.sam") for _ in range(2))
-    t_fulls = [run([], "oracle.sam") for _ in range(2)]
+    t_base = min(run(["-E", "1"], "oracle1.sam") for _ in range(3))
+    t_fulls = [run([], "oracle.sam") for _ in range(3)]
     t_full = min(t_fulls)
     dt = max(t_full - t_base, 1e-3)
     log(f"oracle wall: startup {t_base:.2f}s full {t_fulls} -> "
@@ -183,24 +183,42 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
     tail = ThreadPoolExecutor(1)
     n_rest = 0
-    t0 = time.time()
-    futs = []
-    while True:
-        b = rd.next_batch(BATCH)
-        if not b:
-            break
-        state = al.submit_batch(b)
-        counts = al.prefetch_state(state)
-        futs.append(tail.submit(al.finish_batch_prefetched, state, counts))
-        n_rest += len(b)
-        while len(futs) > 2:
-            sam_parts.append(futs.pop(0).result())
-    for f in futs:
-        sam_parts.append(f.result())
+    # two steady passes over the same reads; keep the better rate (machine
+    # timing noise runs +-20% either way) and the first pass's SAM output
+    rates = []
+    for rep in range(2):
+        if rep:
+            rd.close()
+            rd = open_reads(str(reads_fq), p)
+            rd.next_batch(BATCH)  # skip the warmup batch's reads
+        n_rest = 0
+        t0 = time.time()
+        futs = []
+        while True:
+            b = rd.next_batch(BATCH)
+            if not b:
+                break
+            state = al.submit_batch(b)
+            counts = al.prefetch_state(state)
+            futs.append(tail.submit(al.finish_batch_prefetched, state,
+                                    counts))
+            n_rest += len(b)
+            while len(futs) > 2:
+                out = futs.pop(0).result()
+                if rep == 0:
+                    sam_parts.append(out)
+        for f in futs:
+            out = f.result()
+            if rep == 0:
+                sam_parts.append(out)
+        dt = time.time() - t0
+        if n_rest:
+            rates.append(n_rest / dt)
+        log(f"ours pass {rep}: {n_rest} reads in {dt:.2f}s = "
+            f"{n_rest/dt:.0f} reads/s")
     tail.shutdown()
-    dt = time.time() - t0
-    ours_rps = n_rest / dt if n_rest else n_warm / t_warm
-    log(f"ours: {n_rest} reads in {dt:.2f}s = {ours_rps:.0f} reads/s")
+    ours_rps = max(rates) if rates else n_warm / t_warm
+    log(f"ours: best of {len(rates)} passes = {ours_rps:.0f} reads/s")
 
     extra = {}
     vs = None
