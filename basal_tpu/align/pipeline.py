@@ -88,9 +88,12 @@ class DeviceContext:
         self.mode = _mode_name(params)
         # opt-in Pallas count core (ungapped); see ops/extend_pallas.py
         self.use_pallas = bool(os.environ.get("BASAL_TPU_PALLAS"))
-        # measured dispatch->fetch wall time (adaptive placement input)
+        # measured dispatch->fetch wall time (adaptive placement input);
+        # the first fetch is skipped — it folds in one-time chip claim and
+        # jit compile, which would poison the steady-state cost estimate
         self.meas_t = 0.0
         self.meas_n = 0
+        self._meas_skip = 1
 
     @property
     def cost_per_cand(self):
@@ -198,8 +201,11 @@ class DeviceContext:
             if t0 is not None and C >= 16384:
                 # dispatch -> results-on-host wall time per candidate: the
                 # measured link+device cost that drives adaptive placement
-                self.meas_t += time.time() - t0
-                self.meas_n += C
+                if self._meas_skip:
+                    self._meas_skip -= 1
+                else:
+                    self.meas_t += time.time() - t0
+                    self.meas_n += C
         if len(outs) == 1:
             return outs[0]
         counts = np.concatenate([o[0] for o in outs])
