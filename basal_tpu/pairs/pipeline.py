@@ -231,6 +231,7 @@ class PairEndAligner:
         self.sched_a = SeedScheduler(params, index, self.rng)
         self.sched_b = SeedScheduler(params, index, self.rng)
         self._dev = None  # lazy: host-eval runs must never claim a device
+        self.nt_hint = 0  # C++ thread width (0 = all cores); see SE runner
         self.replayer = Replayer(params, ref, self.rng)
         rrbs_fn = None
         if params.rrbs_flag:
@@ -358,7 +359,7 @@ class PairEndAligner:
             cntb = np.empty(n0, np.int32)
             if n0:
                 nat.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
-                                     locb, cntb)
+                                     locb, cntb, n_threads=self.nt_hint)
             st.append((locb, cntb, off))
         out1 = replay_pe(
             p, self.ref,
@@ -448,6 +449,39 @@ class PairEndAligner:
         return "".join(out)
 
 
+class PairThreadedRunner:
+    """-p worker pool for paired-end batches: each worker owns a full
+    PairEndAligner (private scheduler/emitter state, like each reference
+    pthread's PairAlign instance, main.cpp:94-130); output is written in
+    batch order."""
+
+    def __init__(self, params, ref, index, n_workers: int):
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        self.aligners = [PairEndAligner(params, ref, index)
+                         for _ in range(n_workers)]
+        nt = max(1, (os.cpu_count() or 1) // n_workers)
+        for a in self.aligners:
+            a.nt_hint = nt
+        self.pool = ThreadPoolExecutor(n_workers)
+        self.n = n_workers
+        self.i = 0
+
+    def submit(self, reads_a, reads_b):
+        al = self.aligners[self.i % self.n]
+        self.i += 1
+        return self.pool.submit(al.align_batch, reads_a, reads_b)
+
+    def counters(self):
+        es = [a.emitter for a in self.aligners]
+        return (sum(e.n_aligned_pairs for e in es),
+                sum(e.n_unique_pairs for e in es),
+                sum(e.n_multiple_pairs for e in es))
+
+    def shutdown(self):
+        self.pool.shutdown()
+
+
 def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
                  reads_b_path: str, out_fh=None,
                  command_line: str = "basal_tpu", log=lambda *a: None):
@@ -466,6 +500,40 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
         out_fh.write(sam_header(ref, params, command_line))
     rd_a = open_reads(reads_a_path, params, readset=1)
     rd_b = open_reads(reads_b_path, params, readset=2)
+    if params.num_threads > 1 and params.randseed != 0 \
+            and not params.rrbs_flag:
+        from collections import deque
+        runner = PairThreadedRunner(params, ref, index, params.num_threads)
+        futures = deque()
+        while True:
+            a = rd_a.next_batch()
+            b = rd_b.next_batch()
+            ok = a and len(a) == len(b)
+            if ok:
+                futures.append(runner.submit(a, b))
+            while futures and (not ok or len(futures) > runner.n):
+                out_fh.write(futures.popleft().result())
+                log(f"{rd_a.index - params.read_start + 1} read pairs "
+                    f"finished.")
+            if not ok:
+                break
+        runner.shutdown()
+        n_al, n_un, n_mu = runner.counters()
+
+        class _E:
+            n_aligned_pairs, n_unique_pairs, n_multiple_pairs = \
+                n_al, n_un, n_mu
+        e = _E
+        n = max(rd_a.index - params.read_start + 1, 1)
+        log(f"total read pairs: {n} \ttotal time: "
+            f"{time.time()-t0:.0f} secs")
+        log(f"aligned pairs: {e.n_aligned_pairs} "
+            f"({100.0*e.n_aligned_pairs/n:.1f}%), "
+            f"unique pairs: {e.n_unique_pairs} "
+            f"({100.0*e.n_unique_pairs/n:.1f}%), "
+            f"non-unique pairs: {e.n_multiple_pairs} "
+            f"({100.0*e.n_multiple_pairs/n:.1f}%)")
+        return runner.aligners[0]
     while True:
         a = rd_a.next_batch()
         b = rd_b.next_batch()

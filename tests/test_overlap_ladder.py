@@ -75,3 +75,35 @@ def test_overlapped_ladder_waves(tmp_path):
         SingleEndAligner.EAGER_MAX_CANDS = old_eager
     want = norm_sam((tmp_path / "oracle.sam").read_text())
     assert got == want
+
+
+def test_pe_threaded_equals_serial(tmp_path):
+    """PairThreadedRunner (-p) produces the same output as the serial PE
+    loop (each worker owns private scheduler state, batch-ordered writes)."""
+    from test_differential_pe import pe_reads
+    from conftest import random_genome
+    rng = random.Random(777)
+    g = random_genome(rng, 20000)
+    make_ref(tmp_path / "ref.fa", [("chrP", g)])
+    r1, r2 = pe_reads(rng, g, 400, 80, rule="C:T", min_ins=150, max_ins=400)
+    make_fastq(tmp_path / "r1.fq", r1)
+    make_fastq(tmp_path / "r2.fq", r2)
+
+    import os
+    from basal_tpu.config import AlignParams
+    from basal_tpu.pairs.pipeline import run_pair_end
+
+    outs = []
+    cwd = os.getcwd()
+    for nthreads in (1, 3):
+        p = AlignParams(conversion="C:T", randseed=5, pairend=True,
+                        out_unmap=True, verbose_level=0, batch_reads=64,
+                        num_threads=nthreads)
+        out = io.StringIO()
+        os.chdir(tmp_path)
+        try:
+            run_pair_end(p, "ref.fa", "r1.fq", "r2.fq", out_fh=out)
+        finally:
+            os.chdir(cwd)
+        outs.append(norm_sam(out.getvalue()))
+    assert outs[0] == outs[1]
