@@ -598,21 +598,25 @@ class ThreadedRunner:
         nt = max(1, (os.cpu_count() or 1) // n_workers)
         for a in self.aligners:
             a.nt_hint = nt  # divide cores among workers
-        self.pool = ThreadPoolExecutor(n_workers)
+        # One single-thread executor per aligner: batches that round-robin
+        # onto the same (stateful) aligner are serialized by its own queue,
+        # so correctness never depends on the caller's drain window.
+        self.pools = [ThreadPoolExecutor(1) for _ in range(n_workers)]
         self.n = n_workers
         self.i = 0
 
     def submit(self, reads):
-        al = self.aligners[self.i % self.n]
+        slot = self.i % self.n
         self.i += 1
-        return self.pool.submit(al.align_batch, reads)
+        return self.pools[slot].submit(self.aligners[slot].align_batch, reads)
 
     def counters(self):
         totals = [a.stats() for a in self.aligners]
         return tuple(sum(t[i] for t in totals) for i in range(3))
 
     def shutdown(self):
-        self.pool.shutdown()
+        for p in self.pools:
+            p.shutdown()
 
 
 def run_single_end(params: AlignParams, ref_path: str, reads_path: str,

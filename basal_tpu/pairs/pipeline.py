@@ -463,14 +463,17 @@ class PairThreadedRunner:
         nt = max(1, (os.cpu_count() or 1) // n_workers)
         for a in self.aligners:
             a.nt_hint = nt
-        self.pool = ThreadPoolExecutor(n_workers)
+        # Per-aligner single-thread executors: serialize batches that share
+        # an aligner (see ThreadedRunner in align/pipeline.py).
+        self.pools = [ThreadPoolExecutor(1) for _ in range(n_workers)]
         self.n = n_workers
         self.i = 0
 
     def submit(self, reads_a, reads_b):
-        al = self.aligners[self.i % self.n]
+        slot = self.i % self.n
         self.i += 1
-        return self.pool.submit(al.align_batch, reads_a, reads_b)
+        return self.pools[slot].submit(self.aligners[slot].align_batch,
+                                       reads_a, reads_b)
 
     def counters(self):
         es = [a.emitter for a in self.aligners]
@@ -479,7 +482,8 @@ class PairThreadedRunner:
                 sum(e.n_multiple_pairs for e in es))
 
     def shutdown(self):
-        self.pool.shutdown()
+        for p in self.pools:
+            p.shutdown()
 
 
 def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,

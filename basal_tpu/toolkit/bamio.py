@@ -57,7 +57,10 @@ class BgzfWriter:
     def _flush_block(self, chunk: bytes):
         co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
         cdata = co.compress(bytes(chunk)) + co.flush()
-        bsize = len(cdata) + 25 + 1
+        # BSIZE = total block length - 1 (SAM spec §4.1; block = 16-byte
+        # header + 2-byte BSIZE + cdata + 8-byte CRC/ISIZE = len(cdata)+26;
+        # cf. BGZF_EOF: 28-byte block carries 0x1b = 27).
+        bsize = len(cdata) + 25
         out = (_BGZF_HDR + struct.pack("<H", bsize) + cdata
                + struct.pack("<II", zlib.crc32(bytes(chunk)) & 0xFFFFFFFF,
                              len(chunk)))
@@ -203,11 +206,41 @@ class BamWriter:
         self.bgzf.close()
 
 
+def read_bgzf(path: str) -> bytes:
+    """Decompress a BGZF file by walking blocks via the BSIZE field.
+
+    Strict: validates the gzip/FEXTRA magic, the BC extra field, BSIZE
+    (total block length - 1), and each block's CRC32 — unlike Python's
+    gzip module, which ignores BC and would hide a bad BSIZE.
+    """
+    out = bytearray()
+    with open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+    while off < len(data):
+        hdr = data[off:off + 18]
+        if len(hdr) < 18:
+            raise ValueError(f"truncated BGZF block header at {off}")
+        if hdr[:4] != b"\x1f\x8b\x08\x04" or hdr[12:16] != b"\x42\x43\x02\x00":
+            raise ValueError(f"bad BGZF magic at {off}")
+        bsize = struct.unpack_from("<H", hdr, 16)[0] + 1
+        block = data[off:off + bsize]
+        if len(block) < bsize:
+            raise ValueError(f"truncated BGZF block at {off}")
+        cdata = block[18:bsize - 8]
+        chunk = zlib.decompress(cdata, -15)
+        crc, isize = struct.unpack_from("<II", block, bsize - 8)
+        if crc != (zlib.crc32(chunk) & 0xFFFFFFFF) or isize != len(chunk):
+            raise ValueError(f"BGZF CRC/ISIZE mismatch at {off}")
+        out += chunk
+        off += bsize
+    return bytes(out)
+
+
 def decode_bam_to_sam(path: str) -> str:
     """Decode a BAM file to SAM text (for tests and the toolkit)."""
-    import gzip
     import io
-    fh = io.BufferedReader(gzip.open(path, "rb"))
+    fh = io.BufferedReader(io.BytesIO(read_bgzf(path)))
     assert fh.read(4) == b"BAM\x01"
     l_text = struct.unpack("<i", fh.read(4))[0]
     text = fh.read(l_text).decode(errors="replace")

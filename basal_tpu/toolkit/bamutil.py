@@ -35,15 +35,18 @@ def _write_any(lines: List[str], path: Optional[str]):
 
 
 def view(path: str, out: Optional[str] = None, exclude_flags: int = 0,
-         include_flags: int = 0, with_header: bool = True):
+         include_flags: int = 0, with_header: bool = True,
+         header_only: bool = False):
     lines = _read_any(path)
     res = []
     for l in lines:
         if not l:
             continue
         if l.startswith("@"):
-            if with_header:
+            if with_header or header_only:
                 res.append(l)
+            continue
+        if header_only:  # samtools view -H: header lines only
             continue
         flag = int(l.split("\t", 2)[1])
         if exclude_flags and (flag & exclude_flags):
@@ -110,7 +113,8 @@ def main(argv=None):
         p.add_argument("--include-flags", type=lambda x: int(x, 0), default=0)
         p.add_argument("-H", action="store_true", dest="header_only")
         a = p.parse_args(rest)
-        view(a.input, a.out, a.exclude, a.include_flags)
+        view(a.input, a.out, a.exclude, a.include_flags,
+             header_only=a.header_only)
     elif cmd == "sort":
         p = argparse.ArgumentParser(prog="bamutil sort")
         p.add_argument("input")

@@ -71,14 +71,15 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh"):
         return q <= alpha, q
     if method in ("fdr_tsbh", "fdr_tsbky"):
         if method == "fdr_tsbh":
-            alpha1 = alpha / (1 + alpha)
-            rej1, _ = multipletests(p, alpha1, "fdr_bh")
+            # statsmodels fdrcorrection_twostage(method='bh'): fact=1, so the
+            # stage-1 alpha is unscaled (alpha/(1+alpha) is only for 'bky')
+            rej1, _ = multipletests(p, alpha, "fdr_bh")
             m0 = n - rej1.sum()
             k = np.arange(1, n + 1)
             adj = po * m0 / k
             adj = np.minimum.accumulate(adj[::-1])[::-1]
             q = np.minimum(adj, 1.0)[inv]
-            return q <= alpha1, q
+            return q <= alpha, q
         # fdr_tsbky (two-stage Benjamini-Krieger-Yekutieli)
         alpha_prime = alpha / (1 + alpha)
         rej1, _ = multipletests(p, alpha_prime, "fdr_bh")

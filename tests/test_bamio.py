@@ -64,3 +64,22 @@ def test_bam_input_matches_fastq_input(tmp_path, rng):
     out_bam = run_ours(["-a", "in.bam", "-d", "ref.fa", "-M", "C:T",
                         "-V", "0", "-S", "2", "-u"], tmp_path)
     assert norm_sam(out_fq) == norm_sam(out_bam)
+
+
+def test_bgzf_block_structure(tmp_path):
+    """BSIZE must equal the actual block span - 1 (SAM spec §4.1): walk the
+    file strictly via the BC extra field, validating magic + CRC per block,
+    and compare against what Python gzip (which ignores BC) decodes.
+    Regression for the off-by-one that desynced htslib-style readers."""
+    import gzip
+    from basal_tpu.toolkit.bamio import BgzfWriter, read_bgzf, BGZF_EOF
+
+    payload = bytes(range(256)) * 700  # > one 0xF000 block
+    p = tmp_path / "t.bgzf"
+    w = BgzfWriter(str(p))
+    w.write(payload)
+    w.close()
+    assert read_bgzf(str(p)) == payload  # raises on any BSIZE/CRC mismatch
+    with gzip.open(str(p), "rb") as g:
+        assert g.read() == payload
+    assert p.read_bytes().endswith(BGZF_EOF)
