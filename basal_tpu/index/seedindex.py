@@ -136,6 +136,12 @@ def build_index(ref: PackedReference, params: AlignParams) -> SeedIndex:
     starts = np.zeros(nk, dtype=np.int64)
     counts = np.zeros(nk, dtype=np.int32)
     n1 = np.zeros(nk, dtype=np.int32)
+    try:
+        from ..native import madvise_hugepage
+        for a in (starts, counts, n1, locs):
+            madvise_hugepage(a)
+    except Exception:  # noqa: BLE001
+        pass
     starts[uk] = uk_start
     counts[uk] = uc
     n1[uk] = n1_per

@@ -20,6 +20,11 @@
 #include <thread>
 #include <cstdio>
 
+#if defined(__AVX512F__) && defined(__AVX512VPOPCNTDQ__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define BT_SIMD512 1
+#endif
+
 using u8 = uint8_t;
 using i8 = int8_t;
 using u32 = uint32_t;
@@ -84,18 +89,59 @@ static inline u32 count_seeds(const Shared& sh, const u32* cc, const u8* hn,
     return total;
 }
 
-// gather counts[sv[0..n_off)] with a software-prefetch pipeline (cf. the
-// reference's PREFETCH_CAL_UNIT pattern, refbase.cpp:303-325)
-static inline void fill_count_cache(const Shared& sh, const u32* sv,
-                                    i32 n_off, u32* cc) {
-    const i32 PF = 12;
-    i32 lead = n_off < PF ? n_off : PF;
-    for (i32 i = 0; i < lead; ++i)
-        __builtin_prefetch(sh.counts + sv[i], 0, 0);
-    for (i32 i = 0; i < n_off; ++i) {
-        if (i + PF < n_off) __builtin_prefetch(sh.counts + sv[i + PF], 0, 0);
-        cc[i] = (u32)sh.counts[sv[i]];
+// gather counts[sv[lo..hi]] (cf. the reference's PREFETCH_CAL_UNIT pattern,
+// refbase.cpp:303-325).  Hardware gathers keep 16 loads in flight — the
+// counts table is 3^16 slots and every access is effectively a DRAM+TLB
+// miss, so load-level parallelism is the whole game here.
+static inline void gather_counts(const i32* counts, const u32* sv,
+                                 i32 lo, i32 hi_incl, u32* cc) {
+#if defined(BT_SIMD512) && defined(BT_GATHER_COUNTS)
+    for (i32 i = lo; i <= hi_incl; i += 16) {
+        i32 n = hi_incl + 1 - i;
+        __mmask16 m = n >= 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << n) - 1);
+        __m512i idx = _mm512_maskz_loadu_epi32(m, sv + i);
+        __m512i v = _mm512_mask_i32gather_epi32(_mm512_setzero_si512(), m,
+                                                idx, counts, 4);
+        _mm512_mask_storeu_epi32(cc + i, m, v);
     }
+#else
+    const i32 PF = 12;
+    for (i32 i = lo; i <= hi_incl; ++i) {
+        if (i + PF <= hi_incl) __builtin_prefetch(counts + sv[i + PF], 0, 0);
+        cc[i] = (u32)counts[sv[i]];
+    }
+#endif
+}
+
+// Fill only the offsets the scheduler can touch: for each segment,
+// profile[seg][i] + start - i with start in [0, cap] where cap bounds every
+// probed start (max_offset, plus the incoming sticky state — when
+// max_offset == 0 the best-offset search is skipped and the previous
+// read's offset leaks through, so starts up to that stale value occur).
+static inline void fill_count_cache(const Shared& sh, const u32* sv,
+                                    i32 n_off, i32 segnum, i32 cap,
+                                    u32* cc) {
+    i32 ranges[2 * (MAXSNPS + 1)];
+    i32 nr = 0;
+    for (i32 seg = 0; seg < segnum && seg <= MAXSNPS; ++seg) {
+        i64 lo = INT64_MAX, hi = INT64_MIN;
+        for (i32 i = 0; i < sh.I; ++i) {
+            i64 v = sh.profile[seg * sh.prof_stride + i] - i;
+            if (v < lo) lo = v;
+            if (v + cap > hi) hi = v + cap;
+        }
+        if (lo < 0) lo = 0;
+        if (hi > n_off - 1) hi = n_off - 1;
+        if (lo <= hi) { ranges[nr++] = (i32)lo; ranges[nr++] = (i32)hi; }
+    }
+    // prefetch everything first (the short per-segment ranges defeat a
+    // per-range prefetch pipeline; issuing all misses up front restores
+    // the memory-level parallelism of the old full-range sweep)
+    for (i32 k = 0; k < nr; k += 2)
+        for (i32 i = ranges[k]; i <= ranges[k + 1]; ++i)
+            __builtin_prefetch(sh.counts + sv[i], 0, 0);
+    for (i32 k = 0; k < nr; k += 2)
+        gather_counts(sh.counts, sv, ranges[k], ranges[k + 1], cc);
 }
 
 struct Sched {
@@ -118,7 +164,8 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
         const u8* hn = sh.has_n + ((i64)r * 2 + chain) * sh.S;
         i32 n_off = sh.n_offsets[r];
         u32* cc = cc2 + (i64)chain * sh.S;
-        fill_count_cache(sh, sv, n_off, cc);
+        i32 cap = std::max(max_offset, start_offset_state[chain]);
+        fill_count_cache(sh, sv, n_off, segnum, cap, cc);
         if (max_offset > 0) {
             u32 best = 0xffffffffu;
             for (i32 i = 0; i < max_offset; ++i) {
@@ -298,6 +345,64 @@ static inline i32 sxm32_(u32 t) {
     return (i32)((x * 0x01010101u) >> 24);
 }
 
+#ifdef BT_SIMD512
+// Vectorized W-word conversion-masked mismatch count for ONE candidate:
+// lanes = u32 words of the read register file.  Bit-identical algebra to
+// the scalar loop; no early exit — full accumulation then clamp at 255
+// gives the same result as the scalar's `cnt > 255` break.  Loads are
+// lane-masked, and the packed reference carries 800-u32-word margins on
+// both sides (index/reference.py, REF_MARGIN), so R[w+1] stays in bounds.
+static inline i32 count_words_simd(const u32* R, u32 sh,
+                                   const u32* b, const u32* v, const u32* mr,
+                                   i32 W, i32 mode, i32 cnt) {
+    const __m512i c5 = _mm512_set1_epi32(0x55555555);
+    const __m512i cA = _mm512_set1_epi32((int)0xAAAAAAAAu);
+    const __m512i ones = _mm512_set1_epi32(-1);
+    const __m512i vsh = _mm512_set1_epi32((int)sh);
+    const __m512i vsh2 = _mm512_set1_epi32((int)(32 - sh));  // 32 -> srlv = 0
+    __m512i acc = _mm512_setzero_si512();
+    for (i32 w = 0; w < W; w += 16) {
+        __mmask16 m = (W - w >= 16) ? (__mmask16)0xFFFF
+                                    : (__mmask16)((1u << (W - w)) - 1);
+        __m512i r0 = _mm512_maskz_loadu_epi32(m, R + w);
+        __m512i r1 = _mm512_maskz_loadu_epi32(m, R + w + 1);
+        __m512i a = _mm512_or_si512(_mm512_sllv_epi32(r0, vsh),
+                                    _mm512_srlv_epi32(r1, vsh2));
+        __m512i bw = _mm512_maskz_loadu_epi32(m, b + w);
+        __m512i vw = _mm512_maskz_loadu_epi32(m, v + w);
+        __m512i f;
+        if (mode == 0) {
+            // xc(a) = ((~a)<<1) | a | 0x5555...
+            __m512i xc = _mm512_or_si512(_mm512_or_si512(
+                _mm512_slli_epi32(_mm512_andnot_si512(a, ones), 1), a), c5);
+            f = _mm512_xor_si512(_mm512_and_si512(bw, xc), a);
+        } else if (mode == 1) {
+            __m512i mrw = _mm512_maskz_loadu_epi32(m, mr + w);
+            __m512i xc = _mm512_or_si512(_mm512_or_si512(
+                _mm512_slli_epi32(_mm512_andnot_si512(a, ones), 1), a), c5);
+            __m512i m2 = _mm512_or_si512(xc, mrw);
+            // m2j(t) = t & (((t&A)>>1) | ((t&5)<<1))
+            __m512i m3 = _mm512_and_si512(m2, _mm512_or_si512(
+                _mm512_srli_epi32(_mm512_and_si512(m2, cA), 1),
+                _mm512_slli_epi32(_mm512_and_si512(m2, c5), 1)));
+            f = _mm512_xor_si512(_mm512_or_si512(
+                _mm512_andnot_si512(m3, m2), _mm512_and_si512(m3, bw)), a);
+        } else {
+            // xt(a) = a - ((a<<1) & a & A)
+            __m512i t = _mm512_and_si512(
+                _mm512_and_si512(_mm512_slli_epi32(a, 1), a), cA);
+            f = _mm512_xor_si512(bw, _mm512_sub_epi32(a, t));
+        }
+        __m512i t2 = _mm512_and_si512(f, vw);
+        __m512i x = _mm512_and_si512(
+            _mm512_or_si512(t2, _mm512_srli_epi32(t2, 1)), c5);
+        acc = _mm512_add_epi32(acc, _mm512_popcnt_epi32(x));
+    }
+    cnt += _mm512_reduce_add_epi32(acc);
+    return cnt > 255 ? 255 : cnt;
+}
+#endif
+
 static inline i32 eval_cand(const EvalCtx* ev, i32 lc, int plane, i64 r) {
     const u32* R = ev->ref32 + (plane ? ev->nw : 0) + (lc >> 4);
     u32 sh = ((u32)lc & 15u) << 1;
@@ -305,6 +410,9 @@ static inline i32 eval_cand(const EvalCtx* ev, i32 lc, int plane, i64 r) {
     const u32* v = ev->validP + r * ev->W;
     const u32* mr = ev->mreadP + r * ev->W;
     i32 cnt = ev->ncnt[r];
+#ifdef BT_SIMD512
+    return count_words_simd(R, sh, b, v, mr, ev->W, ev->mode, cnt);
+#endif
     for (i32 w = 0; w < ev->W; ++w) {
         u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
         u32 f;
@@ -1068,6 +1176,11 @@ extern "C" i64 bt_eval_candidates(
             const u32* v = valid + r * W;
             const u32* mr = mread + r * W;
             i32 cnt = ncnt[r];
+#ifdef BT_SIMD512
+            out_counts[c] = (u8)count_words_simd(R, sh, b, v, mr, W, mode,
+                                                 cnt);
+            continue;
+#endif
             for (i32 w = 0; w < W; ++w) {
                 u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
                 u32 f;
@@ -1146,6 +1259,11 @@ extern "C" i64 bt_fill_eval_groups(
                 const u32* R = ref32 + (j >= nn1 ? nw : 0) + (lc >> 4);
                 u32 sh = ((u32)lc & 15u) << 1;
                 i32 cnt = nc;
+#ifdef BT_SIMD512
+                counts[cur + j] = count_words_simd(R, sh, b, v, mr, W, mode,
+                                                   cnt);
+                continue;
+#endif
                 for (i32 w = 0; w < W; ++w) {
                     u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh)))
                                : R[w];
