@@ -296,7 +296,9 @@ class SingleEndAligner:
         self.total_reads += len(reads)
         if self.native is None:
             return ("py", enc)
-        ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
+        from ..reads.io import RawBatch
+        ridx = (enc.reads.indices if isinstance(enc.reads, RawBatch)
+                else np.array([r.index for r in enc.reads], dtype=np.uint32))
         groups, goff, total = self.native.build_groups(enc, ridx)
         ng = groups.shape[0]
         off = np.full(ng, -1, dtype=np.int64)

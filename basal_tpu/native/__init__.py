@@ -54,18 +54,26 @@ def get_lib():
     lib.bt_pack_ref.restype = ctypes.c_int64
     lib.bt_build_seed_index.restype = ctypes.c_int64
     lib.bt_build_groups_mt.restype = ctypes.c_int64
+    lib.bt_scan_fastq.restype = ctypes.c_int64
     _lib = lib
     return lib
 
 
-def native_encode(params, chars, map_len, W, n_threads=0):
+def native_encode(params, chars, map_len, W, n_threads=0, seq_off=None,
+                  lmax=None, want_ncnt=False):
     """C++ twin of the plane-packing + seed-array half of encode_batch.
+    ``chars`` is either a dense [B, lmax] matrix (seq_off None) or the raw
+    chunk buffer with per-read byte offsets ``seq_off`` (zero-string path).
     Returns (base, valid, mread, lenmask [2B, W] u32, seedval, has_n
-    [B, 2, S])."""
+    [B, 2, S][, ncnt i32[B] when want_ncnt])."""
     lib = get_lib()
     if lib is None:
         return None
-    B, lmax = chars.shape
+    if seq_off is None:
+        B, lmax = chars.shape
+    else:
+        B = len(seq_off)
+        assert lmax is not None
     S = lmax - params.seed_size + 1
     if S <= 0:
         return None
@@ -76,14 +84,18 @@ def native_encode(params, chars, map_len, W, n_threads=0):
     lenmask = np.empty((2 * B, W), np.uint32)
     seedval = np.empty((B, 2, S), np.uint32)
     has_n = np.empty((B, 2, S), np.uint8)
+    ncnt = np.empty(B, np.int32) if want_ncnt else None
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 8)
     from ..config import REG_ALPHABET
+    soff = (np.ascontiguousarray(seq_off, np.int64)
+            if seq_off is not None else None)
     lib.bt_encode_batch(
         ctypes.c_int32(B), ctypes.c_int32(lmax), ctypes.c_int32(W),
         ctypes.c_int32(params.seed_size),
         ctypes.c_int32(1 if params.nt3 else 0),
         _p(np.ascontiguousarray(chars), ctypes.c_uint8),
+        _p(soff, ctypes.c_int64),
         _p(np.ascontiguousarray(map_len, ), ctypes.c_int32),
         _p(rule.alphabet, ctypes.c_uint8), _p(rule.rev_alphabet, ctypes.c_uint8),
         _p(rule.alphabet_mread, ctypes.c_uint8),
@@ -92,8 +104,10 @@ def native_encode(params, chars, map_len, W, n_threads=0):
         _p(base, ctypes.c_uint32), _p(valid, ctypes.c_uint32),
         _p(mread, ctypes.c_uint32), _p(lenmask, ctypes.c_uint32),
         _p(seedval, ctypes.c_uint32), _p(has_n, ctypes.c_uint8),
+        _p(ncnt, ctypes.c_int32),
         ctypes.c_int32(n_threads))
-    return base, valid, mread, lenmask, seedval, has_n
+    out = (base, valid, mread, lenmask, seedval, has_n)
+    return out + (ncnt,) if want_ncnt else out
 
 
 def _p(a, t):
@@ -541,28 +555,53 @@ class NativeFormatter:
         p = self.p
         B = len(enc.reads)
         (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = res
-        names = "".join(r.name for r in enc.reads)
-        seqs = "".join(r.seq for r in enc.reads)
-        quals = "".join(r.qual for r in enc.reads)
-        name_off = np.zeros(B + 1, np.int64)
-        np.cumsum([len(r.name) for r in enc.reads], out=name_off[1:])
-        seq_off = np.zeros(B + 1, np.int64)
-        np.cumsum([len(r.seq) for r in enc.reads], out=seq_off[1:])
-        qual_off = np.zeros(B + 1, np.int64)
-        np.cumsum([len(r.qual) for r in enc.reads], out=qual_off[1:])
-        nb = np.frombuffer(names.encode("latin1"), np.uint8)
-        sb = np.frombuffer(seqs.encode("latin1"), np.uint8)
-        qb = np.frombuffer(quals.encode("latin1"), np.uint8)
-        ridx = np.array([r.index for r in enc.reads], np.uint32)
-        rset = np.array([r.readset for r in enc.reads], np.int32)
-        cap = max(len(seqs) * 4 + B * 96, 1 << 20)
+        from ..reads.io import RawBatch
+        if isinstance(enc.reads, RawBatch):
+            rb = enc.reads
+            nb = sb = qb = rb.buf
+            name_off, name_len = rb.name_off, rb.name_len
+            seq_off, seq_len = rb.seq_off, rb.seq_len
+            qual_off, qual_len = rb.qual_off, rb.qual_len
+            ridx = rb.indices
+            rset = np.full(B, rb.readset, np.int32)
+            total_seq = int(seq_len.sum())
+        else:
+            names = "".join(r.name for r in enc.reads)
+            seqs = "".join(r.seq for r in enc.reads)
+            quals = "".join(r.qual for r in enc.reads)
+            name_len = np.array([len(r.name) for r in enc.reads], np.int32)
+            seq_len = np.array([len(r.seq) for r in enc.reads], np.int32)
+            qual_len = np.array([len(r.qual) for r in enc.reads], np.int32)
+            name_off = np.zeros(B, np.int64)
+            np.cumsum(name_len[:-1], out=name_off[1:])
+            seq_off = np.zeros(B, np.int64)
+            np.cumsum(seq_len[:-1], out=seq_off[1:])
+            qual_off = np.zeros(B, np.int64)
+            np.cumsum(qual_len[:-1], out=qual_off[1:])
+            nb = np.frombuffer(names.encode("latin1"), np.uint8)
+            sb = np.frombuffer(seqs.encode("latin1"), np.uint8)
+            qb = np.frombuffer(quals.encode("latin1"), np.uint8)
+            ridx = np.array([r.index for r in enc.reads], np.uint32)
+            rset = np.array([r.readset for r in enc.reads], np.int32)
+            total_seq = len(seqs)
+        name_off = np.ascontiguousarray(name_off, np.int64)
+        name_len = np.ascontiguousarray(name_len, np.int32)
+        seq_off = np.ascontiguousarray(seq_off, np.int64)
+        seq_len = np.ascontiguousarray(seq_len, np.int32)
+        qual_off = np.ascontiguousarray(qual_off, np.int64)
+        qual_len = np.ascontiguousarray(qual_len, np.int32)
+        ridx = np.ascontiguousarray(ridx, np.uint32)
+        cap = max(total_seq * 4 + B * 96, 1 << 20)
         while True:
             out = np.empty(cap, np.uint8)
             n = lib.bt_format_se(
                 ctypes.c_int32(B),
                 _p(nb, ctypes.c_uint8), _p(name_off, ctypes.c_int64),
+                _p(name_len, ctypes.c_int32),
                 _p(sb, ctypes.c_uint8), _p(seq_off, ctypes.c_int64),
+                _p(seq_len, ctypes.c_int32),
                 _p(qb, ctypes.c_uint8), _p(qual_off, ctypes.c_int64),
+                _p(qual_len, ctypes.c_int32),
                 _p(enc.map_len, ctypes.c_int32), _p(ridx, ctypes.c_uint32),
                 _p(rset, ctypes.c_int32),
                 _p(np.ascontiguousarray(stratum, np.int32), ctypes.c_int32),

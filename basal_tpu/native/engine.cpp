@@ -910,6 +910,63 @@ i64 bt_replay_pe(
     return 0;
 }
 
+// FASTQ chunk scanner (zero-string read path; replaces the per-read
+// Python line/split/decode loop in reads/io.py).  Token semantics match
+// the reference's ``fin >> seq`` reads (reads.cpp:42-82): a field ends at
+// the first whitespace; the rest of the line is skipped.  Empty lines are
+// skipped (reference: getline loop).  Parses complete 4-line records from
+// buf[0..n); a record at EOF may end without a trailing newline when
+// final != 0.  Returns the number of records parsed (up to cap);
+// *consumed = bytes of buf fully consumed by parsed records (the caller
+// carries the remainder into the next chunk).
+extern "C" i64 bt_scan_fastq(
+    const u8* buf, i64 n, i32 final_chunk, i64 cap,
+    i64* name_off, i32* name_len,
+    i64* seq_off, i32* seq_len,
+    i64* qual_off, i32* qual_len,
+    i64* consumed)
+{
+    i64 p = 0, nrec = 0;
+    auto skip_ws_lines = [&](i64& q) {
+        while (q < n && (buf[q] == '\n' || buf[q] == '\r')) ++q;
+    };
+    auto token = [&](i64& q, i64& off, i32& len) -> bool {
+        // token start at q; returns false if the line is incomplete
+        off = q;
+        while (q < n && buf[q] > ' ') ++q;
+        len = (i32)(q - off);
+        while (q < n && buf[q] != '\n') ++q;   // rest of line
+        if (q >= n) return final_chunk != 0;
+        ++q;  // consume '\n'
+        return true;
+    };
+    while (nrec < cap) {
+        i64 q = p;
+        skip_ws_lines(q);
+        if (q >= n) { p = q; break; }
+        // header line: '@name ...' (name excludes the '@')
+        i64 hoff; i32 hlen;
+        i64 q0 = q;
+        if (!token(q, hoff, hlen)) break;
+        (void)q0;
+        i64 soff, plus_off, qoff; i32 slen, plus_len, qlen;
+        skip_ws_lines(q);
+        if (q >= n || !token(q, soff, slen)) break;
+        skip_ws_lines(q);
+        if (q >= n || !token(q, plus_off, plus_len)) break;
+        skip_ws_lines(q);
+        if (q >= n || !token(q, qoff, qlen)) break;
+        name_off[nrec] = hoff + 1;            // skip '@'
+        name_len[nrec] = hlen > 0 ? hlen - 1 : 0;
+        seq_off[nrec] = soff; seq_len[nrec] = slen;
+        qual_off[nrec] = qoff; qual_len[nrec] = qlen;
+        ++nrec;
+        p = q;
+    }
+    *consumed = p;
+    return nrec;
+}
+
 // Batch read encoder: chars -> device planes + per-offset seed arrays.
 // Twin of basal_tpu.reads.encode.encode_batch's packing half
 // (ref: ConvertBina[r]ySeq, align.cpp:79-226) in one multithreaded pass.
@@ -918,30 +975,45 @@ i64 bt_replay_pe(
 //  seedval: u32 [B, 2, S]  (S = lmax - seed_size + 1), has_n: u8 same shape
 i64 bt_encode_batch(
     i32 B, i32 lmax, i32 W, i32 seed_size, i32 nt3,
-    const u8* chars,            // [B, lmax]
+    const u8* chars,            // [B, lmax] dense, or ragged base when
+    const i64* seq_off,         // seq_off != null (chars + seq_off[r],
+                                // L chars; beyond-L treated as 'N')
     const i32* map_len,         // [B]
     const u8* alphabet, const u8* rev_alphabet,
     const u8* mread_fwd, const u8* mread_rev, const u8* reg,
     u32* base, u32* valid, u32* mread, u32* lenmask,  // [2B, W]
     u32* seedval, u8* has_n,    // [B, 2, S]
+    i32* ncnt_out,              // [B] nullable: #invalid chars in [0, L)
     i32 n_threads)
 {
     const i32 S = lmax - seed_size + 1;
     auto work = [&](i32 r0, i32 r1) {
         std::vector<u8> code(lmax), vld(lmax), mrd(lmax);
+        std::vector<u8> chbuf;
+        if (seq_off) chbuf.resize(lmax);
         for (i32 r = r0; r < r1; ++r) {
-            const u8* ch = chars + (i64)r * lmax;
             i32 L = map_len[r];
+            const u8* ch;
+            if (seq_off) {
+                memcpy(chbuf.data(), chars + seq_off[r], (size_t)L);
+                memset(chbuf.data() + L, 'N', (size_t)(lmax - L));
+                ch = chbuf.data();
+            } else {
+                ch = chars + (i64)r * lmax;
+            }
             for (int chain = 0; chain < 2; ++chain) {
                 // chain 0: as-is through alphabet; chain 1: reversed read
                 // through rev_alphabet (align.cpp:193-199)
                 if (chain == 0) {
+                    i32 nbad_r = 0;
                     for (i32 i = 0; i < lmax; ++i) {
                         u8 c = ch[i];
                         code[i] = alphabet[c];
                         vld[i] = reg[c];
                         mrd[i] = mread_fwd[c];
+                        nbad_r += (i < L) & (vld[i] == 0);
                     }
+                    if (ncnt_out) ncnt_out[r] = nbad_r;
                 } else {
                     for (i32 i = 0; i < L; ++i) {
                         u8 c = ch[L - 1 - i];
@@ -1023,9 +1095,9 @@ i64 bt_encode_batch(
 // -(needed) if cap is too small.  counters: [aligned, unique, multiple].
 extern "C" i64 bt_format_se(
     i32 B,
-    const u8* names, const i64* name_off,   // [B+1] concatenated
-    const u8* seqs, const i64* seq_off,
-    const u8* quals, const i64* qual_off,
+    const u8* names, const i64* name_off, const i32* name_len,  // [B] slices
+    const u8* seqs, const i64* seq_off, const i32* seq_len,     // (off, len)
+    const u8* quals, const i64* qual_off, const i32* qual_len,
     const i32* map_len, const u32* read_index, const i32* readset,
     const i32* stratum, const i32* n0, const i32* n1v,
     const i32* hchr, const i32* hloc, const i32* hgsz, const i32* hgpos,
@@ -1050,11 +1122,11 @@ extern "C" i64 bt_format_se(
 
     for (i32 r = 0; r < B; ++r) {
         const u8* name = names + name_off[r];
-        i64 name_n = name_off[r + 1] - name_off[r];
+        i64 name_n = name_len[r];
         const u8* seq = seqs + seq_off[r];
-        i64 seq_n = seq_off[r + 1] - seq_off[r];
+        i64 seq_n = seq_len[r];
         const u8* qual = quals + qual_off[r];
-        i64 qual_n = qual_off[r + 1] - qual_off[r];
+        i64 qual_n = qual_len[r];
         i32 L = map_len[r];
         i32 st = stratum[r];
         i64 a = hoff[r], b = hoff[r + 1];

@@ -150,9 +150,15 @@ def filter_and_trim(params: AlignParams, reads: List[ReadRec]):
     return filtered, raw_len, budget, n_count, chars
 
 
-def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
+def encode_batch(params: AlignParams, reads) -> EncodedBatch:
     p = params
     rule = p.rule
+    from .io import RawBatch
+    if isinstance(reads, RawBatch):
+        enc = _encode_raw(p, reads)
+        if enc is not None:
+            return enc
+        reads = reads.to_list()  # trimming active / malformed quals
     filtered, raw_len, budget, n_count, chars = filter_and_trim(p, reads)
     B = len(reads)
     map_len = np.array([len(r.seq) for r in reads], dtype=np.int32)
@@ -204,13 +210,60 @@ def encode_batch(params: AlignParams, reads: List[ReadRec]) -> EncodedBatch:
                          seedval, has_n)
 
 
+def _encode_raw(p: AlignParams, rb) -> "EncodedBatch | None":
+    """Zero-string fast path: encode straight from the RawBatch buffer
+    (no ReadRec objects, no char-matrix materialization, no per-read
+    Python).  Falls back (returns None) when a trimming pass is active or
+    seq/qual lengths disagree — those mutate per-read strings."""
+    if os.environ.get("BASAL_TPU_NO_NATIVE"):
+        return None
+    needs_qual_pass = p.qual_threshold != 0 or p.zero_qual != ord("!")
+    if p.adapters or needs_qual_pass:
+        return None
+    if (rb.seq_len != rb.qual_len).any():
+        return None  # qual-length fix path (align.cpp:54-55)
+    from ..native import native_encode
+    B = len(rb)
+    map_len = np.ascontiguousarray(rb.seq_len, np.int32)
+    raw_len = map_len  # no trimming on this path
+    lmax = max(int(map_len.max(initial=1)), p.seed_size)
+    W = max(4, -(-lmax // 16))
+    nat = native_encode(p, rb.buf, map_len, W, seq_off=rb.seq_off,
+                        lmax=lmax, want_ncnt=True)
+    if nat is None:
+        return None
+    base, valid, mread, lenmask, seedval, has_n, ncnt = nat
+
+    # per-read budget (align.cpp:550-556); no trim -> raw == map
+    if p.max_snp_num < 100:
+        rms = np.full(B, p.max_snp_num, dtype=np.int64)
+    else:
+        rms = ((p.max_snp_num - 100) / 100.0 * raw_len + 0.5).astype(np.int64)
+    if p.gap > 0:
+        rms = rms + 1 + p.gap
+    rms = np.minimum(rms, MAXSNPS)
+    filtered = (map_len < p.min_read_size) | (ncnt > p.max_ns)
+    n_count = ncnt.astype(np.int32) if p.n_mis else np.zeros(B, np.int32)
+    n_count[filtered] = 0
+    budget = ((rms + 1) * np.maximum(map_len - 1, 0)
+              // np.maximum(raw_len, 1)).astype(np.int32)
+    budget[filtered] = 0
+    return _finish_batch(p, rb, filtered, raw_len, budget, n_count,
+                         map_len, W, base, valid, mread, lenmask,
+                         seedval, has_n)
+
+
 def _finish_batch(p, reads, filtered, raw_len, budget, n_count, map_len, W,
                   base, valid, mread, lenmask, seedval, has_n):
     B = len(reads)
     n_off = np.maximum(map_len - p.seed_size + 1, 0).astype(np.int32)
 
     # enabled chains (PBAT support, align.cpp:156-158)
-    readset = np.array([r.readset for r in reads], dtype=np.int32)
+    from .io import RawBatch
+    if isinstance(reads, RawBatch):
+        readset = np.full(B, reads.readset, dtype=np.int32)
+    else:
+        readset = np.array([r.readset for r in reads], dtype=np.int32)
     xf = np.zeros((B, 2), dtype=bool)
     xf[:, 0] = (p.chains == 1) | ((p.chains <= 1) == (readset < 2))
     xf[:, 1] = (p.chains == 1) | ((p.chains <= 1) == (readset == 2))

@@ -30,6 +30,61 @@ class ReadRec:
     qual: str
 
 
+class RawBatch:
+    """Zero-string read batch: name/seq/qual live as (offset, length)
+    slices into one shared byte buffer (the raw FASTQ chunk).  The hot
+    native path (encode -> schedule -> eval -> format) consumes the
+    buffers directly; slow paths materialize ReadRec lazily via rec(i).
+
+    Replaces the per-read Python object churn of List[ReadRec]
+    (~2-3 us/read measured) on the reference's batch-loading path
+    (reads.cpp:42-82)."""
+
+    __slots__ = ("buf", "name_off", "name_len", "seq_off", "seq_len",
+                 "qual_off", "qual_len", "index0", "readset")
+
+    def __init__(self, buf, name_off, name_len, seq_off, seq_len,
+                 qual_off, qual_len, index0, readset=0):
+        self.buf = buf                  # np.uint8 [n]
+        self.name_off = name_off        # int64 [B]
+        self.name_len = name_len        # int32 [B]
+        self.seq_off = seq_off
+        self.seq_len = seq_len
+        self.qual_off = qual_off
+        self.qual_len = qual_len
+        self.index0 = index0            # global index of read 0
+        self.readset = readset
+
+    def __len__(self):
+        return len(self.name_off)
+
+    @property
+    def indices(self):
+        import numpy as np
+        return (self.index0
+                + np.arange(len(self.name_off), dtype=np.uint32))
+
+    def _slice(self, off, ln):
+        return self.buf[off:off + ln].tobytes().decode("latin1")
+
+    def rec(self, i: int) -> ReadRec:
+        return ReadRec(
+            index=self.index0 + i, readset=self.readset,
+            name=self._slice(self.name_off[i], self.name_len[i]),
+            seq=self._slice(self.seq_off[i], self.seq_len[i]),
+            qual=self._slice(self.qual_off[i], self.qual_len[i]))
+
+    def __getitem__(self, i):
+        return self.rec(i)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.rec(i)
+
+    def to_list(self):
+        return [self.rec(i) for i in range(len(self))]
+
+
 def _open(path: str):
     with open(path, "rb") as f:
         magic = f.read(2)
@@ -163,6 +218,104 @@ class FastxReader:
             line = line.strip()
             if line:
                 return line
+
+    def close(self):
+        self.fh.close()
+
+
+class RawFastqReader:
+    """FASTQ batch reader producing RawBatch (zero-string path): chunks of
+    the file are scanned by the native bt_scan_fastq into (offset, length)
+    arrays; batches are array slices sharing the chunk buffer.  Token/field
+    semantics identical to FastxReader (reference reads.cpp:42-82)."""
+
+    CHUNK = 16 << 20
+
+    def __init__(self, path: str, params: AlignParams, readset: int = 0):
+        import numpy as np
+        self.np = np
+        self.params = params
+        self.readset = readset
+        self.fh = _open(path)
+        self.index = params.read_start - 1
+        self._carry = b""
+        self._eof = False
+        self._buf = None
+        self._arr = None     # (name_off, name_len, seq_off, seq_len, q_off, q_len)
+        self._pos = 0
+        self._n = 0
+        self._skip = params.read_start - 1
+
+    def _scan_chunk(self) -> bool:
+        import ctypes
+        from ..native import get_lib, _p
+        np = self.np
+        while True:
+            if self._eof and not self._carry:
+                return False
+            data = b"" if self._eof else self.fh.read(self.CHUNK)
+            if not self._eof and len(data) < self.CHUNK:
+                self._eof = True
+            blob = self._carry + data if self._carry else data
+            if not blob:
+                return False
+            buf = np.frombuffer(blob, np.uint8)
+            cap = blob.count(b"\n") // 4 + 2
+            no = np.empty(cap, np.int64)
+            nl = np.empty(cap, np.int32)
+            so = np.empty(cap, np.int64)
+            sl = np.empty(cap, np.int32)
+            qo = np.empty(cap, np.int64)
+            ql = np.empty(cap, np.int32)
+            consumed = ctypes.c_int64(0)
+            lib = get_lib()
+            nrec = lib.bt_scan_fastq(
+                _p(buf, ctypes.c_uint8), ctypes.c_int64(buf.size),
+                ctypes.c_int32(1 if self._eof else 0), ctypes.c_int64(cap),
+                _p(no, ctypes.c_int64), _p(nl, ctypes.c_int32),
+                _p(so, ctypes.c_int64), _p(sl, ctypes.c_int32),
+                _p(qo, ctypes.c_int64), _p(ql, ctypes.c_int32),
+                ctypes.byref(consumed))
+            nrec = int(nrec)
+            self._carry = blob[consumed.value:]
+            if nrec == 0:
+                if self._eof:
+                    self._carry = b""  # truncated trailing record: drop
+                    return False
+                continue  # carry grew; read more
+            self._buf = buf
+            self._arr = (no[:nrec], nl[:nrec], so[:nrec], sl[:nrec],
+                         qo[:nrec], ql[:nrec])
+            self._pos = 0
+            self._n = nrec
+            if self._skip:
+                take = min(self._skip, nrec)
+                self._pos += take
+                self._skip -= take
+                if self._pos >= self._n:
+                    continue
+            return True
+
+    def next_batch(self, batch_size: Optional[int] = None):
+        p = self.params
+        want = min(batch_size or p.batch_reads, p.read_end - self.index)
+        if want <= 0:
+            return []
+        if self._pos >= self._n and not self._scan_chunk():
+            return []
+        np = self.np
+        take = min(want, self._n - self._pos)
+        a, b = self._pos, self._pos + take
+        no, nl, so, sl, qo, ql = self._arr
+        maxlen = p.max_readlen
+        batch = RawBatch(
+            self._buf, no[a:b], nl[a:b], so[a:b],
+            np.minimum(sl[a:b], maxlen), qo[a:b],
+            np.minimum(ql[a:b], maxlen),
+            index0=self.index, readset=self.readset)
+        self._pos = b
+        self.index += take
+        return batch
 
     def close(self):
         self.fh.close()
@@ -317,7 +470,13 @@ class SamReader:
 
 
 def open_reads(path: str, params: AlignParams, readset: int = 0):
+    import os
     fmt = sniff_format(path)
+    if fmt == "fastq" and readset == 0 \
+            and not os.environ.get("BASAL_TPU_NO_RAW"):
+        from ..native import native_available
+        if native_available():
+            return RawFastqReader(path, params, readset)
     if fmt in ("fasta", "fastq"):
         return FastxReader(path, params, readset, fmt)
     if fmt == "bam":
