@@ -266,7 +266,11 @@ class SingleEndAligner:
         BASAL_TPU_HOST_EVAL=1/auto) never construct it, so they never pay
         the accelerator claim/attach cost."""
         if self._dev is None:
-            self._dev = DeviceContext(self.ref, self.p)
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_sharded_context
+                self._dev = make_sharded_context(self.ref, self.p)
+            if self._dev is None:
+                self._dev = DeviceContext(self.ref, self.p)
         return self._dev
 
     # -- two-phase API for the overlapped pipeline -----------------------

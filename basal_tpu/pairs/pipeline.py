@@ -250,7 +250,12 @@ class PairEndAligner:
         """Device context, created on first device dispatch (see the SE
         aligner: host-SIMD-evaluated runs never attach an accelerator)."""
         if self._dev is None:
-            self._dev = DeviceContext(self.ref, self.p)
+            import jax
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_sharded_context
+                self._dev = make_sharded_context(self.ref, self.p)
+            if self._dev is None:
+                self._dev = DeviceContext(self.ref, self.p)
         return self._dev
 
     MAX_BATCH_CANDS = 30_000_000

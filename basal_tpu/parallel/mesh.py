@@ -130,7 +130,12 @@ def _sharded_extend(ref_shards, shard_start, loc, plane, row, base, valid,
 
 class ShardedDeviceContext:
     """Drop-in replacement for align.pipeline.DeviceContext running the
-    extension step over a (dp, rs) mesh."""
+    extension step over a (dp, rs) mesh.  API-compatible with
+    DeviceContext (extend_async/fetch/extend, cost_per_cand) so
+    SingleEndAligner/PairAligner select it transparently when the process
+    sees more than one accelerator."""
+
+    CHUNK = 4 << 20  # bound per-dispatch temp memory, as DeviceContext
 
     def __init__(self, ref, params, mesh: Mesh):
         from ..align.pipeline import _mode_name
@@ -147,38 +152,129 @@ class ShardedDeviceContext:
         self.start_dev = jax.device_put(
             starts, NamedSharding(mesh, P("rs")))
         self.mode = _mode_name(params)
+        # adaptive-placement cost model (see DeviceContext)
+        self.meas_t = 0.0
+        self.meas_n = 0
+        self._meas_skip = 1
 
-    def extend(self, enc, loc, plane, row):
+    @property
+    def cost_per_cand(self):
+        return self.meas_t / self.meas_n if self.meas_n else None
+
+    def _extend_async_one(self, enc, loc, plane, row):
         p = self.params
         C = loc.shape[0]
         unit = 256 * self.n_dp
-        cpad = max(unit, -(-C // unit) * unit)
+        # pow2-of-unit padding: bucketed shapes, bucketed recompiles
+        cpad = max(unit, unit << max(-(-C // unit) - 1, 0).bit_length())
         pad = cpad - C
 
         def padc(a, fill=0):
             return np.pad(a, (0, pad), constant_values=fill)
 
-        # row-offset upload (see DeviceContext.extend_async)
+        assert row.size == 0 or (np.diff(row) >= 0).all(), \
+            "candidate rows must be non-decreasing for row-offset upload"
         used, first_idx = np.unique(row, return_index=True)
-        row_off = np.empty(len(used) + 1, np.int64)
-        row_off[:-1] = first_idx
-        row_off[-1] = C
-        enc = _CompactEnc(enc, used)
+        U = len(used)
+        upad = max(512, 1 << max(U - 1, 1).bit_length()) - U
+        row_off = np.full(U + 1 + upad, C, np.int32)
+        row_off[:U] = first_idx
+        cenc = _CompactEnc(enc, used)
+
+        def padr(a):
+            return np.pad(a, ((0, upad), (0, 0))) if upad else a
+
+        def padr1(a):
+            return np.pad(a, (0, upad)) if upad else a
+
         csh = NamedSharding(self.mesh, P("dp"))
         rsh = NamedSharding(self.mesh, P())
         res = _sharded_extend(
             self.ref_dev, self.start_dev,
             jax.device_put(padc(loc, 12800).astype(np.int32), csh),
             jax.device_put(padc(plane).astype(np.int32), csh),
-            jax.device_put(row_off.astype(np.int32), rsh),
-            jax.device_put(enc.base, rsh), jax.device_put(enc.valid, rsh),
-            jax.device_put(enc.mread, rsh), jax.device_put(enc.lenmask, rsh),
-            jax.device_put(enc.n_count.astype(np.int32), rsh),
-            jax.device_put(enc.map_len.astype(np.int32), rsh),
+            jax.device_put(row_off, rsh),
+            jax.device_put(padr(cenc.base), rsh),
+            jax.device_put(padr(cenc.valid), rsh),
+            jax.device_put(padr(cenc.mread), rsh),
+            jax.device_put(padr(cenc.lenmask), rsh),
+            jax.device_put(padr1(cenc.n_count.astype(np.int32)), rsh),
+            jax.device_put(padr1(cenc.map_len.astype(np.int32)), rsh),
             mode=self.mode, gap=p.gap, W=enc.W, shard_w=self.shard_w,
             mesh_def=self.mesh)
-        if p.gap > 0:
+        return C, res
+
+    def extend_async(self, enc, loc, plane, row):
+        import time
+        C = loc.shape[0]
+        t0 = time.time()
+        if C <= self.CHUNK:
+            return [self._extend_async_one(enc, loc, plane, row) + (t0,)]
+        return [self._extend_async_one(enc, loc[i:i + self.CHUNK],
+                                       plane[i:i + self.CHUNK],
+                                       row[i:i + self.CHUNK]) + (t0,)
+                for i in range(0, C, self.CHUNK)]
+
+    def fetch(self, handles, _res=None):
+        import time
+        if _res is not None:
+            handles = [(handles, _res, None)]
+        outs = []
+        for C, res, t0 in handles:
+            outs.append(self._fetch_one(C, res))
+            if t0 is not None and C >= 16384:
+                if self._meas_skip:
+                    self._meas_skip -= 1
+                else:
+                    self.meas_t += time.time() - t0
+                    self.meas_n += C
+        if len(outs) == 1:
+            return outs[0]
+        counts = np.concatenate([o[0] for o in outs])
+        if self.params.gap > 0:
+            return (counts, np.concatenate([o[1] for o in outs]),
+                    np.concatenate([o[2] for o in outs]))
+        return counts, None, None
+
+    def _fetch_one(self, C, res):
+        if self.params.gap > 0:
             counts, pos0, pos1 = res
-            return (np.asarray(counts)[:C], np.asarray(pos0)[:C],
-                    np.asarray(pos1)[:C])
-        return np.asarray(res[0])[:C], None, None
+            return (np.asarray(counts)[:C].astype(np.int32),
+                    np.asarray(pos0)[:C].astype(np.int32),
+                    np.asarray(pos1)[:C].astype(np.int32))
+        return np.asarray(res[0])[:C].astype(np.int32), None, None
+
+    def extend(self, enc, loc, plane, row):
+        return self.fetch(self.extend_async(enc, loc, plane, row))
+
+
+def auto_mesh_shape(n_devices: int, ref_words: int,
+                    hbm_bytes: int = 16 << 30):
+    """Pick (n_dp, n_rs): shard the reference over rs only when the packed
+    planes (2 x 4 bytes x words, x2 working headroom) exceed one device's
+    HBM budget; otherwise pure data parallelism."""
+    plane_bytes = 2 * 4 * ref_words * 2
+    n_rs = 1
+    while plane_bytes // n_rs > hbm_bytes and n_rs < n_devices:
+        n_rs *= 2
+    n_dp = max(n_devices // n_rs, 1)
+    return n_dp, n_rs
+
+
+def make_sharded_context(ref, params, devices=None):
+    """Build a ShardedDeviceContext over all visible devices (or an
+    explicit list).  ``BASAL_TPU_MESH`` overrides: "0" disables (caller
+    falls back to single-device), "DPxRS" forces a shape."""
+    import os
+    devices = list(devices if devices is not None else jax.devices())
+    spec = os.environ.get("BASAL_TPU_MESH", "")
+    if spec == "0":
+        return None
+    if "x" in spec:
+        n_dp, n_rs = (int(t) for t in spec.split("x"))
+    else:
+        n_dp, n_rs = auto_mesh_shape(len(devices), ref.ref32.shape[1])
+    if n_dp * n_rs < 2 or n_dp * n_rs > len(devices):
+        return None
+    mesh = make_mesh(n_dp, n_rs, devices[:n_dp * n_rs])
+    return ShardedDeviceContext(ref, params, mesh)
