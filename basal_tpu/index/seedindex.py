@@ -69,9 +69,19 @@ def _kmer_cutoff(params: AlignParams, uk: np.ndarray, uc: np.ndarray) -> int:
     (refbase.cpp:362: ``sort(kmer_count, kmer_count+total_kmers-1)``), so the
     slot of the last k-mer id (3^s - 1) sits unsorted at the tail; replicated
     exactly without materializing the dense array.
+
+    The quantile index is computed in FLOAT32: ``max_kmer_ratio`` is a C++
+    ``float`` (param.h:83), so refbase.cpp:363's
+    ``(bit32_t)(total_kmers*(1-param.max_kmer_ratio))-1`` does uint32*float
+    arithmetic — for s=16 that float product rounds 43046699.47 up to
+    43046700.0, one slot HIGHER than the double-precision value.  On
+    repeat-heavy references the top k-mer counts are densely clustered, so
+    this off-by-one flips whole seed groups in/out of the index (observed:
+    3/20000 pairs diverging on a 50 Mbp 45%-repeat genome).
     """
     nk = params.total_kmers
-    qidx = int(nk * (1.0 - params.max_kmer_ratio)) - 1
+    one_minus = np.float32(1) - np.float32(params.max_kmer_ratio)
+    qidx = int(np.float32(nk) * one_minus) - 1
     last_id = nk - 1
     in_tail = uk == last_id
     last_count = int(uc[in_tail][0]) if in_tail.any() else 0
