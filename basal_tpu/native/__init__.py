@@ -119,7 +119,18 @@ def madvise_hugepage(arr: np.ndarray) -> None:
     tables (3^16 slots, ~170-340 MB each) are gathered at random per seed
     probe; with 4 KiB pages nearly every gather is also a TLB miss, which
     measured as the dominant cost of seed scheduling.  2 MiB pages drop
-    the whole table to <200 TLB entries."""
+    the whole table to <200 TLB entries.
+
+    DEFAULT OFF (opt in with ``BASAL_TPU_HUGEPAGE=1``): on this build's
+    virtualized host, first-touch faults of madvised extents run ~6x
+    slower end-to-end (84 s vs 14 s whole PE run, same contention window;
+    ``compact_stall`` stayed 0, so the cost is hypervisor-side, not kernel
+    compaction) and the post-AVX-512 align phase no longer shows a
+    measurable TLB win.  On bare metal with cheap THP faults the advice
+    is a real win for the gather-heavy scan — hence the env gate rather
+    than removal."""
+    if os.environ.get("BASAL_TPU_HUGEPAGE", "0") != "1":
+        return
     try:
         libc = ctypes.CDLL(None, use_errno=True)
         page = 4096

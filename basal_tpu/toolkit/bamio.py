@@ -42,34 +42,69 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _deflate_block(chunk: bytes, level: int) -> bytes:
+    """One complete BGZF block for ``chunk`` (independent of every other
+    block by format — each is a self-delimiting gzip member)."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    cdata = co.compress(chunk) + co.flush()
+    # BSIZE = total block length - 1 (SAM spec §4.1; block = 16-byte
+    # header + 2-byte BSIZE + cdata + 8-byte CRC/ISIZE = len(cdata)+26;
+    # cf. BGZF_EOF: 28-byte block carries 0x1b = 27).
+    bsize = len(cdata) + 25
+    return (_BGZF_HDR + struct.pack("<H", bsize) + cdata
+            + struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF,
+                          len(chunk)))
+
+
 class BgzfWriter:
-    def __init__(self, path: str, level: int = 6):
+    """BGZF writer with block-parallel compression.
+
+    The reference offloads BAM compression to a samtools child process
+    (main.cpp:505); here the deflate runs on a small thread pool instead —
+    zlib releases the GIL, blocks are independent by format, and a FIFO
+    future queue preserves block order.  ``threads<=1`` (or tiny outputs,
+    which never exceed one block) keeps the serial path.
+    """
+
+    def __init__(self, path: str, level: int = 6, threads: Optional[int] = None):
         self.fh = open(path, "wb")
         self.level = level
         self.buf = bytearray()
+        if threads is None:
+            import os
+            threads = min(4, os.cpu_count() or 1)
+        self._pool = None
+        self._futs = None
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            from collections import deque
+            self._pool = ThreadPoolExecutor(threads)
+            self._futs = deque()
+            self._max_inflight = threads * 4
 
     def write(self, data: bytes):
         self.buf += data
         while len(self.buf) >= 0xF000:
-            self._flush_block(self.buf[:0xF000])
+            self._flush_block(bytes(self.buf[:0xF000]))
             del self.buf[:0xF000]
 
     def _flush_block(self, chunk: bytes):
-        co = zlib.compressobj(self.level, zlib.DEFLATED, -15)
-        cdata = co.compress(bytes(chunk)) + co.flush()
-        # BSIZE = total block length - 1 (SAM spec §4.1; block = 16-byte
-        # header + 2-byte BSIZE + cdata + 8-byte CRC/ISIZE = len(cdata)+26;
-        # cf. BGZF_EOF: 28-byte block carries 0x1b = 27).
-        bsize = len(cdata) + 25
-        out = (_BGZF_HDR + struct.pack("<H", bsize) + cdata
-               + struct.pack("<II", zlib.crc32(bytes(chunk)) & 0xFFFFFFFF,
-                             len(chunk)))
-        self.fh.write(out)
+        if self._pool is None:
+            self.fh.write(_deflate_block(chunk, self.level))
+            return
+        self._futs.append(self._pool.submit(_deflate_block, chunk,
+                                            self.level))
+        while len(self._futs) > self._max_inflight:
+            self.fh.write(self._futs.popleft().result())
 
     def close(self):
         if self.buf:
-            self._flush_block(self.buf)
+            self._flush_block(bytes(self.buf))
             self.buf = bytearray()
+        if self._pool is not None:
+            while self._futs:
+                self.fh.write(self._futs.popleft().result())
+            self._pool.shutdown()
         self.fh.write(BGZF_EOF)
         self.fh.close()
 

@@ -83,3 +83,21 @@ def test_bgzf_block_structure(tmp_path):
     with gzip.open(str(p), "rb") as g:
         assert g.read() == payload
     assert p.read_bytes().endswith(BGZF_EOF)
+
+
+def test_bgzf_parallel_matches_serial(tmp_path):
+    """Block-parallel compression must write the exact bytes of the serial
+    path (same chunking, same deflate parameters, FIFO order)."""
+    from basal_tpu.toolkit.bamio import BgzfWriter, read_bgzf
+
+    rng = __import__("random").Random(7)
+    payload = bytes(rng.randrange(256) for _ in range(0xF000 * 5 + 1234))
+    ps, pp = tmp_path / "s.bgzf", tmp_path / "p.bgzf"
+    for path, threads in ((ps, 1), (pp, 4)):
+        w = BgzfWriter(str(path), threads=threads)
+        # dribble writes so buffering/chunk boundaries are exercised
+        for off in range(0, len(payload), 100_000):
+            w.write(payload[off:off + 100_000])
+        w.close()
+    assert read_bgzf(str(pp)) == payload
+    assert pp.read_bytes() == ps.read_bytes()
