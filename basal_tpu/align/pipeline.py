@@ -297,6 +297,9 @@ class SingleEndAligner:
     def submit_batch(self, reads):
         """Host encode + lazy candidate build + async dispatch of wave 1."""
         enc = encode_batch(self.p, reads)
+        ens = getattr(self.index, "ensure_batch", None)
+        if ens is not None:  # shard-resident index: one routed fetch round
+            ens(enc)
         self.total_reads += len(reads)
         if self.native is None:
             return ("py", enc)
@@ -601,7 +604,7 @@ class ThreadedRunner:
         import os
         self.aligners = [SingleEndAligner(params, ref, index)
                          for _ in range(n_workers)]
-        nt = max(1, (os.cpu_count() or 1) // n_workers)
+        nt = max(1, len(os.sched_getaffinity(0)) // n_workers)
         for a in self.aligners:
             a.nt_hint = nt  # divide cores among workers
         # One single-thread executor per aligner: batches that round-robin
@@ -627,7 +630,8 @@ class ThreadedRunner:
 
 def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
                    out_fh=None, command_line: str = "basal_tpu",
-                   log=lambda *a: None):
+                   log=lambda *a: None, index_factory=None,
+                   timings: Optional[dict] = None):
     # observability (SURVEY §5): BASAL_TPU_PROFILE=<dir> captures a JAX
     # profiler trace of the whole run (device + host annotations); per-batch
     # reads/s are logged at -V 2 like the reference's batch lines
@@ -638,7 +642,7 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
         _prof.start_trace(prof_dir)
     try:
         return _run_single_end(params, ref_path, reads_path, out_fh,
-                               command_line, log)
+                               command_line, log, index_factory, timings)
     finally:
         if prof_dir:
             import jax.profiler as _prof
@@ -647,17 +651,26 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
 
 def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
                     out_fh=None, command_line: str = "basal_tpu",
-                    log=lambda *a: None):
+                    log=lambda *a: None, index_factory=None,
+                    timings: Optional[dict] = None):
     t0 = time.time()
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp. "
         f"{time.time()-t0:.0f} secs passed")
-    if params.rrbs_flag:
+    if timings is not None:
+        timings["t_ref"] = time.time() - t0
+    if index_factory is not None:
+        # multi-host: shard-resident RoutedSeedIndex (parallel/multihost.py)
+        index = index_factory(ref, params)
+    elif params.rrbs_flag:
         from ..index.rrbs import build_rrbs_index
         index = build_rrbs_index(ref_path, ref, params)
     else:
         index = build_index(ref, params)
     log(f"create seed table. {time.time()-t0:.0f} secs passed")
+    if timings is not None:
+        timings["t_index"] = time.time() - t0 - timings["t_ref"]
+        timings["t_align_start"] = time.time()
 
     out_fh = out_fh or sys.stdout
     if params.sam_header:

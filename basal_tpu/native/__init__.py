@@ -18,6 +18,16 @@ _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "engine.cpp"
 _SO = _DIR / "libbasal_engine.so"
 
+
+def _ncpu() -> int:
+    """Usable core count — affinity-aware, so taskset/cgroup-restricted
+    workers (multi-host processes pinned to disjoint core sets) size their
+    thread pools to what they actually own."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return os.cpu_count() or 1
+
 _lib = None
 
 
@@ -86,7 +96,7 @@ def native_encode(params, chars, map_len, W, n_threads=0, seq_off=None,
     has_n = np.empty((B, 2, S), np.uint8)
     ncnt = np.empty(B, np.int32) if want_ncnt else None
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 8)
+        n_threads = min(_ncpu(), 8)
     from ..config import REG_ALPHABET
     soff = (np.ascontiguousarray(seq_off, np.int64)
             if seq_off is not None else None)
@@ -237,7 +247,7 @@ class NativeBatch:
             *args_common, _p(self.state, ctypes.c_int32),
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
             ctypes.byref(ng),
-            ctypes.c_int32(min(os.cpu_count() or 1, 8)))
+            ctypes.c_int32(min(_ncpu(), 8)))
         del sv  # fill_groups re-reads it from enc._sv_cache (per-batch)
         return groups[:int(ng.value)], goff, int(total)
 
@@ -297,7 +307,7 @@ class NativeBatch:
             "nt3" if p.nt3 else
             ("oneway" if p.rule.one_way else "multiway")]
         if n_threads <= 0:
-            n_threads = min(os.cpu_count() or 1, 8)
+            n_threads = min(_ncpu(), 8)
         ncnt = getattr(enc, "_ncnt2_cache", None)
         if ncnt is None:
             ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32)
@@ -653,7 +663,7 @@ def host_eval_candidates(params, ref, enc, loc, plane, row, n_threads=0):
     C = loc.size
     out = np.empty(C, np.uint8)
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 8)
+        n_threads = min(_ncpu(), 8)
     nw = ref.ref32.shape[1]
     lib.bt_eval_candidates(
         ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -681,7 +691,7 @@ def native_pack_ref(chars, table, reverse=False, n_threads=0):
     table = np.ascontiguousarray(table, np.uint8)
     out = np.empty(chars.size // 16, np.uint32)
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 8)
+        n_threads = min(_ncpu(), 8)
     lib.bt_pack_ref(
         _p(chars, ctypes.c_uint8), ctypes.c_int64(chars.size),
         _p(table, ctypes.c_uint8), ctypes.c_int32(1 if reverse else 0),
@@ -705,7 +715,7 @@ def native_build_seed_index(ref32, pos0, pos1, seed_size, nk, n_threads=0):
     for a in (starts, counts, n1, locs):
         madvise_hugepage(a)  # tables are gathered randomly per seed probe
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 8)
+        n_threads = min(_ncpu(), 8)
     lib.bt_build_seed_index(
         ref32[0].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ref32[1].ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

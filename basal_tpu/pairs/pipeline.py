@@ -274,6 +274,9 @@ class PairEndAligner:
                            for r in reads_a]
             state0 = self.native_a.state.copy()
             enc_probe = encode_batch(p, probe_reads)
+            ens = getattr(self.index, "ensure_batch", None)
+            if ens is not None:
+                ens(enc_probe)
             _, _, total = self.native_a.build_groups(enc_probe, ridx)
             self.native_a.state[:] = state0
             if (p.gap == 0 and total and host_eval_policy(p, total)):
@@ -294,6 +297,10 @@ class PairEndAligner:
         p = self.p
         enc_a = encode_batch(p, reads_a)
         enc_b = encode_batch(p, reads_b)
+        ens = getattr(self.index, "ensure_batch", None)
+        if ens is not None:  # shard-resident index: routed fetch per mate
+            ens(enc_a)
+            ens(enc_b)
         if self.native_a is not None:
             return self._align_batch_native(enc_a, enc_b)
         res = []
@@ -465,7 +472,7 @@ class PairThreadedRunner:
         from concurrent.futures import ThreadPoolExecutor
         self.aligners = [PairEndAligner(params, ref, index)
                          for _ in range(n_workers)]
-        nt = max(1, (os.cpu_count() or 1) // n_workers)
+        nt = max(1, len(os.sched_getaffinity(0)) // n_workers)
         for a in self.aligners:
             a.nt_hint = nt
         # Per-aligner single-thread executors: serialize batches that share

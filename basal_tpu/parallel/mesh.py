@@ -236,13 +236,30 @@ class ShardedDeviceContext:
                     np.concatenate([o[2] for o in outs]))
         return counts, None, None
 
+    @staticmethod
+    def _to_np(a):
+        """Host-fetch a mesh output.  When the mesh spans processes
+        (multi-host: rs across hosts, parallel/multihost.py) the global
+        array is not fully addressable; the dp axis stays within the
+        process, so the full value is assemblable from local shards
+        (replicated over the remote rs columns)."""
+        if getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        out = np.empty(a.shape, a.dtype)
+        seen = np.zeros(a.shape[0], bool)
+        for s in a.addressable_shards:
+            out[s.index] = np.asarray(s.data)
+            seen[s.index[0]] = True
+        assert seen.all(), "mesh output not locally assemblable (dp remote?)"
+        return out
+
     def _fetch_one(self, C, res):
         if self.params.gap > 0:
             counts, pos0, pos1 = res
-            return (np.asarray(counts)[:C].astype(np.int32),
-                    np.asarray(pos0)[:C].astype(np.int32),
-                    np.asarray(pos1)[:C].astype(np.int32))
-        return np.asarray(res[0])[:C].astype(np.int32), None, None
+            return (self._to_np(counts)[:C].astype(np.int32),
+                    self._to_np(pos0)[:C].astype(np.int32),
+                    self._to_np(pos1)[:C].astype(np.int32))
+        return self._to_np(res[0])[:C].astype(np.int32), None, None
 
     def extend(self, enc, loc, plane, row):
         return self.fetch(self.extend_async(enc, loc, plane, row))
@@ -266,7 +283,10 @@ def make_sharded_context(ref, params, devices=None):
     explicit list).  ``BASAL_TPU_MESH`` overrides: "0" disables (caller
     falls back to single-device), "DPxRS" forces a shape."""
     import os
-    devices = list(devices if devices is not None else jax.devices())
+    # multi-host: each process's aligner works its own read window, so the
+    # default extension mesh is per-host (local devices); cross-host rs
+    # meshes are built explicitly via multihost.make_multihost_mesh
+    devices = list(devices if devices is not None else jax.local_devices())
     spec = os.environ.get("BASAL_TPU_MESH", "")
     if spec == "0":
         return None
