@@ -51,7 +51,7 @@ def host_eval_policy(params: AlignParams, n_cands: int) -> bool:
     the device (BASAL_TPU_HOST_EVAL=0/1 forces; default adaptive)."""
     import os
     mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
-    if mode == "0" or params.gap != 0:  # gapped waves need device pos lists
+    if mode == "0":
         return False
     if mode == "1":
         return True
@@ -315,6 +315,14 @@ class SingleEndAligner:
         sel = (np.arange(ng) if eff >= 99
                else np.flatnonzero(groups[:, 2] < eff))
         n1c = int(groups[sel, 6].sum())
+        if total and self.p.gap > 0 and self._host_eval_policy(int(total)):
+            # gapped + host placement: no bulk wave at all — one replay
+            # evaluates every candidate at visit time (gap_align_ev's lazy
+            # MismatchPattern0/1 under the scan's snp_thres aborts, like
+            # the reference's per-candidate GapAlign, align.cpp:348-410)
+            self.total_candidates += int(total)
+            return ("native", enc, groups, goff, off, None,
+                    ("inline", int(total)), None, 99)
         if n1c and self.p.gap == 0 and self._host_eval_policy(n1c):
             # fused wave-1 materialize + host evaluation (no fill/copy pass)
             loc = np.empty(n1c, np.int32)
@@ -328,7 +336,7 @@ class SingleEndAligner:
                 self._host_n += n1c
             self.total_candidates += n1c
             return ("native", enc, groups, goff, off, (loc, None, None),
-                    ("host", cnt), None, eff)
+                    ("host", cnt, None, None), None, eff)
         loc, plane, row = self.native.fill_groups(enc, groups, sel, off)
         self.total_candidates += loc.size
         handle, uinv = self._dispatch_unique(enc, loc, plane, row)
@@ -341,11 +349,10 @@ class SingleEndAligner:
         probe the host evaluator once and from then on route each wave to
         whichever path measured cheaper per candidate.  On a locally
         attached chip the device wins and stays; through a slow tunnel the
-        host wins.  Forced modes / gap>0 short-circuit in
-        host_eval_policy."""
+        host wins.  Forced modes short-circuit in host_eval_policy."""
         import os
         if (os.environ.get("BASAL_TPU_HOST_EVAL", "auto") == "auto"
-                and self.p.gap == 0 and n_cands <= HOST_EVAL_MIN
+                and n_cands <= HOST_EVAL_MIN
                 and self._dev is not None):
             dev_cost = self._dev.cost_per_cand
             if dev_cost is not None:
@@ -355,14 +362,22 @@ class SingleEndAligner:
         return host_eval_policy(self.p, n_cands)
 
     def _host_eval_timed(self, enc, loc, plane, row):
-        from ..native import host_eval_candidates
+        """Returns (counts, pos0, pos1); the position lists are None for
+        gap == 0 and the gapped replay inputs otherwise."""
+        from ..native import host_eval_candidates, host_eval_candidates_gap
         t0 = time.time()
-        counts = host_eval_candidates(self.p, self.ref, enc, loc, plane,
-                                      row, n_threads=self.nt_hint)
+        if self.p.gap > 0:
+            counts, pos0, pos1 = host_eval_candidates_gap(
+                self.p, self.ref, enc, loc, plane, row,
+                n_threads=self.nt_hint)
+        else:
+            counts = host_eval_candidates(self.p, self.ref, enc, loc, plane,
+                                          row, n_threads=self.nt_hint)
+            pos0 = pos1 = None
         if loc.size >= 16384:
             self._host_t += time.time() - t0
             self._host_n += loc.size
-        return counts
+        return counts, pos0, pos1
 
     def _dispatch_unique(self, enc, loc, plane, row):
         """Dedup identical (row, loc, plane) candidates before evaluation
@@ -374,7 +389,8 @@ class SingleEndAligner:
         # re-evaluate (~2 ns) than to dedup (sort-based np.unique), so the
         # dedup step only runs for device dispatch
         if self._host_eval_policy(loc.size):
-            return ("host", self._host_eval_timed(enc, loc, plane, row)), None
+            return ("host",) + self._host_eval_timed(enc, loc, plane,
+                                                     row), None
 
         def dispatch(l, p_, r):
             return self.dev.extend_async(enc, l, p_.astype(np.int32), r)
@@ -394,7 +410,7 @@ class SingleEndAligner:
     def _fetch_expand(self, handle, uinv):
         if isinstance(handle, tuple) and handle[0] == "host":
             counts = np.asarray(handle[1], dtype=np.int32)  # no-op if i32
-            pos0 = pos1 = None
+            pos0, pos1 = handle[2], handle[3]
         else:
             counts, pos0, pos1 = self.dev.fetch(handle)
         if uinv is not None:
@@ -410,6 +426,8 @@ class SingleEndAligner:
         can then run in a side thread via finish_batch_prefetched."""
         if state[0] == "py" or state[6] is None:
             return None
+        if isinstance(state[6], tuple) and state[6][0] == "inline":
+            return None  # no wave-1 results: all-visit-time replay
         return self._fetch_expand(state[6], state[7])
 
     def finish_batch_prefetched(self, state, fetched) -> str:
@@ -429,10 +447,17 @@ class SingleEndAligner:
     def _finish_with(self, state, fetched) -> str:
         (_, enc, groups, goff, off, arrs, handle, uinv, eff) = state
         p = self.p
-        if handle is None:
+        if handle is None or (isinstance(handle, tuple)
+                              and handle[0] == "inline"):
             z = np.zeros(0, np.int32)
+            t0 = time.time()
             res = self.native.replay_se(enc, groups, goff, z, None, z,
-                                        None, None, counts_off=off)
+                                        None, None, counts_off=off,
+                                        inline_eval=handle is not None)
+            if handle is not None and handle[1] >= 16384:
+                # conservative host-cost sample (includes the scan itself)
+                self._host_t += time.time() - t0
+                self._host_n += handle[1]
             return self._emit_native(enc, [(None, res)])
         loc, plane, row = arrs
         counts, pos0, pos1 = (fetched if fetched is not None
@@ -497,7 +522,7 @@ class SingleEndAligner:
                                  & incomplete[read_of_group])
             n2 = int(groups[sel, 6].sum())  # column 6 = group size
             n_inc = int(incomplete.sum())
-            if (self.p.gap == 0 and _inline_tail_enabled()
+            if (_inline_tail_enabled()
                     and (n2 < 1_000_000 or n2 > 2_000 * n_inc)):
                 # tail wave is either tiny (not worth a bulk round trip) or
                 # mega-groups serving few reads (bulk evaluation would be
@@ -514,7 +539,7 @@ class SingleEndAligner:
                 return self._emit_native(enc, waves)
             self.total_candidates += n2
             _grow(cur + n2)
-            if n2 and self._host_eval_policy(n2):
+            if n2 and self.p.gap == 0 and self._host_eval_policy(n2):
                 # fused C++ materialize + evaluate straight into the tail
                 t0 = time.time()
                 self.native.fill_eval_groups(

@@ -32,14 +32,22 @@ _lib = None
 
 
 def _build() -> bool:
+    err = None
     for flags in (["-O2", "-march=native"], ["-O2"]):
         try:
             subprocess.run(
                 ["g++", *flags, "-shared", "-fPIC", "-std=c++17", str(_SRC),
                  "-o", str(_SO)], check=True, capture_output=True)
             return True
-        except (OSError, subprocess.CalledProcessError):
-            continue
+        except OSError as e:
+            err = str(e)
+        except subprocess.CalledProcessError as e:
+            err = e.stderr.decode()[:2000]
+    # loud fallback: a silent engine-build failure would quietly route every
+    # caller through the pure-Python twins (correct but ~100x slower)
+    import sys
+    print(f"[basal_tpu.native] engine build FAILED, falling back to Python "
+          f"twins:\n{err}", file=sys.stderr)
     return False
 
 
@@ -60,6 +68,7 @@ def get_lib():
     lib.bt_encode_batch.restype = ctypes.c_int64
     lib.bt_format_se.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
+    lib.bt_eval_candidates_gap.restype = ctypes.c_int64
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
     lib.bt_pack_ref.restype = ctypes.c_int64
     lib.bt_build_seed_index.restype = ctypes.c_int64
@@ -335,7 +344,7 @@ class NativeBatch:
         if not enable:
             return [None, ctypes.c_int64(0), None, None, None, None,
                     ctypes.c_int32(0), ctypes.c_int32(0), None,
-                    ctypes.c_int32(0), None, None]
+                    ctypes.c_int32(0), None, None, None, None]
         p = self.p
         B = len(enc.reads)
         mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
@@ -350,7 +359,11 @@ class NativeBatch:
         if ncnt is None:
             ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32)
             enc._ncnt2_cache = ncnt
-        self._ev_keep = (sv, ncnt)
+        ml2 = getattr(enc, "_ml2_cache", None)
+        if ml2 is None:
+            ml2 = np.ascontiguousarray(np.repeat(enc.map_len, 2), np.int32)
+            enc._ml2_cache = ml2
+        self._ev_keep = (sv, ncnt, ml2)
         ref32 = self.ref.ref32
         return [
             ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -360,7 +373,9 @@ class NativeBatch:
             ctypes.c_int32(enc.W), ctypes.c_int32(mode),
             _p(sv, ctypes.c_uint32), ctypes.c_int32(sv.shape[1]),
             _p(self.index.starts, ctypes.c_int64),
-            _p(self.index.locs, ctypes.c_uint32)]
+            _p(self.index.locs, ctypes.c_uint32),
+            # gapped visit-time: lazy MismatchPattern0/1 inputs
+            _p(enc.lenmask, ctypes.c_uint32), _p(ml2, ctypes.c_int32)]
 
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
@@ -483,17 +498,24 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
                 ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2),
                                             np.int32)
                 enc._ncnt2_cache = ncnt
-            keep.append((sv, ncnt))
+            ml2 = getattr(enc, "_ml2_cache", None)
+            if ml2 is None:
+                ml2 = np.ascontiguousarray(np.repeat(enc.map_len, 2),
+                                           np.int32)
+                enc._ml2_cache = ml2
+            keep.append((sv, ncnt, ml2))
             ev_ends[id(enc)] = [
                 _p(enc.base, ctypes.c_uint32),
                 _p(enc.valid, ctypes.c_uint32),
                 _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
                 ctypes.c_int32(enc.W), _p(sv, ctypes.c_uint32),
-                ctypes.c_int32(sv.shape[1])]
+                ctypes.c_int32(sv.shape[1]),
+                _p(enc.lenmask, ctypes.c_uint32), _p(ml2, ctypes.c_int32)]
     else:
         z32 = ctypes.c_int32(0)
         for k in ev_ends:
-            ev_ends[k] = [None, None, None, None, z32, None, z32]
+            ev_ends[k] = [None, None, None, None, z32, None, z32,
+                          None, None]
 
     pair_cap = max(B * 4, 4096)
     hit_cap = max(B * 8, 4096)
@@ -679,6 +701,44 @@ def host_eval_candidates(params, ref, enc, loc, plane, row, n_threads=0):
         ctypes.c_int32(enc.W), ctypes.c_int32(mode),
         _p(out, ctypes.c_uint8), ctypes.c_int32(n_threads))
     return out
+
+
+def host_eval_candidates_gap(params, ref, enc, loc, plane, row, n_threads=0):
+    """C++ host evaluation of GAPPED candidates: counts plus the mismatch
+    position lists the gapped replay consumes (pos0 [C, KPOS] ascending
+    read position; pos1 [C, 2*gap, KPOS] ascending distance-from-end per
+    shifted window) — value-identical to the device kernel's gapped return
+    (ops/extend.py).  KPOS = 14 = MAXSNPS - 1."""
+    lib = get_lib()
+    mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
+        "nt3" if params.nt3 else
+        ("oneway" if params.rule.one_way else "multiway")]
+    C = loc.size
+    g2 = 2 * params.gap
+    out = np.empty(C, np.uint8)
+    pos0 = np.empty((C, 14), np.int32)
+    pos1 = np.empty((C, g2, 14), np.int32)
+    if n_threads <= 0:
+        n_threads = min(_ncpu(), 8)
+    nw = ref.ref32.shape[1]
+    lib.bt_eval_candidates_gap(
+        ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(nw),
+        _p(np.ascontiguousarray(loc, np.int32), ctypes.c_int32),
+        _p(np.ascontiguousarray(plane, np.int8), ctypes.c_int8),
+        _p(np.ascontiguousarray(row, np.int32), ctypes.c_int32),
+        ctypes.c_int64(C),
+        _p(enc.base, ctypes.c_uint32), _p(enc.valid, ctypes.c_uint32),
+        _p(enc.mread, ctypes.c_uint32), _p(enc.lenmask, ctypes.c_uint32),
+        _p(np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32),
+           ctypes.c_int32),
+        _p(np.ascontiguousarray(np.repeat(enc.map_len, 2), np.int32),
+           ctypes.c_int32),
+        ctypes.c_int32(enc.W), ctypes.c_int32(mode),
+        ctypes.c_int32(params.gap),
+        _p(out, ctypes.c_uint8), _p(pos0, ctypes.c_int32),
+        _p(pos1, ctypes.c_int32), ctypes.c_int32(n_threads))
+    return out, pos0, pos1
 
 
 def native_pack_ref(chars, table, reverse=False, n_threads=0):

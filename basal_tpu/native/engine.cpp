@@ -311,7 +311,8 @@ i64 bt_fill_groups(
 // scan's own abort logic (w-caps, pigeonhole stop, max_num_hits) bounds
 // the evaluated volume exactly like the reference's per-candidate extension
 // (align.cpp:274-316), instead of eagerly evaluating whole mega-groups.
-// Ungapped only (no mismatch-position lists).
+// Gapped scans additionally need lenmaskP/readlen (non-null) for the lazy
+// MismatchPattern0/1 extraction in gap_align_ev.
 struct EvalCtx {
     const u32* ref32;                     // [2, nw] both planes
     i64 nw;
@@ -322,6 +323,8 @@ struct EvalCtx {
     i32 S;
     const i64* starts;                    // index CSR
     const u32* locs;
+    const u32* lenmaskP = nullptr;        // [2B, W] read-length mask plane
+    const i32* readlen = nullptr;         // [2B] map_readlen per row
 };
 
 struct RefCtx {
@@ -343,6 +346,18 @@ static inline i32 sxm32_(u32 t) {
     x = (x + (x >> 2)) & 0x33333333u;
     x = (x + (x >> 4)) & 0x0F0F0F0Fu;
     return (i32)((x * 0x01010101u) >> 24);
+}
+
+// conversion-rule mismatch flags for one aligned word (the scalar core of
+// CountMismatch[_new], align.h:118-239): mode 0 oneway, 1 multiway, 2 nt3
+static inline u32 sflag_(u32 a, u32 b, u32 mr, i32 mode) {
+    if (mode == 0) return (b & sxc32_(a)) ^ a;
+    if (mode == 1) {
+        u32 m2 = sxc32_(a) | mr;
+        u32 m3 = sm2j_(m2);
+        return (((~m3) & m2) | (m3 & b)) ^ a;
+    }
+    return b ^ sxt32_(a);
 }
 
 #ifdef BT_SIMD512
@@ -431,6 +446,56 @@ static inline i32 eval_cand(const EvalCtx* ev, i32 lc, int plane, i64 r) {
     return cnt > 255 ? 255 : cnt;
 }
 
+// Lazy mismatch-position extraction for gapped visit-time evaluation
+// (MismatchPattern0/1, align.h:133-196), value-identical to the device
+// kernel's pos0/pos1 (ops/extend.py _first_positions): positions of set
+// mismatch lanes masked by the read-length plane, ascending read position
+// (pattern 0) or ascending distance-from-end (pattern 1, reported as
+// L-1-p), first KPOS, padded with map_readlen.
+static inline void mm_pattern0(const EvalCtx* ev, i32 lc, int plane, i64 r,
+                               i32* out) {
+    const u32* R = ev->ref32 + (plane ? ev->nw : 0) + (lc >> 4);
+    u32 sh = ((u32)lc & 15u) << 1;
+    const u32* b = ev->baseP + r * ev->W;
+    const u32* mr = ev->mreadP + r * ev->W;
+    const u32* lm = ev->lenmaskP + r * ev->W;
+    const i32 L = ev->readlen[r];
+    i32 n = 0;
+    for (i32 w = 0; w < ev->W && n < KPOS; ++w) {
+        u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
+        u32 f = sflag_(a, b[w], mr[w], ev->mode) & lm[w];
+        u32 x = (f | (f >> 1)) & 0x55555555u;
+        while (x && n < KPOS) {
+            i32 clz = __builtin_clz(x);         // lane 0 = bits 31:30
+            out[n++] = w * 16 + ((clz - 1) >> 1);
+            x &= ~(0x80000000u >> clz);
+        }
+    }
+    for (; n < KPOS; ++n) out[n] = L;
+}
+
+static inline void mm_pattern1(const EvalCtx* ev, i32 lc, int plane, i64 r,
+                               i32* out) {
+    const u32* R = ev->ref32 + (plane ? ev->nw : 0) + (lc >> 4);
+    u32 sh = ((u32)lc & 15u) << 1;
+    const u32* b = ev->baseP + r * ev->W;
+    const u32* mr = ev->mreadP + r * ev->W;
+    const u32* lm = ev->lenmaskP + r * ev->W;
+    const i32 L = ev->readlen[r];
+    i32 n = 0;
+    for (i32 w = ev->W - 1; w >= 0 && n < KPOS; --w) {
+        u32 a = sh ? ((R[w] << sh) | (R[w + 1] >> (32 - sh))) : R[w];
+        u32 f = sflag_(a, b[w], mr[w], ev->mode) & lm[w];
+        u32 x = (f | (f >> 1)) & 0x55555555u;
+        while (x && n < KPOS) {
+            i32 ctz = __builtin_ctz(x);         // highest lane index first
+            out[n++] = L - 1 - (w * 16 + ((30 - ctz) >> 1));
+            x &= x - 1;
+        }
+    }
+    for (; n < KPOS; ++n) out[n] = L;
+}
+
 struct H { i32 chr, loc, gsz, gpos; };
 
 struct ScanState {
@@ -486,10 +551,16 @@ struct ScanState {
         return 0;
     }
 
-    // GapAlign (ref: align.cpp:348-410)
-    int gap_align(i64 ci, int chain, int plane, i64 seed_pos) {
+    // GapAlign (ref: align.cpp:348-410).  ``p1_of(pctx, tt)`` supplies the
+    // shifted-window mismatch pattern for shift index tt — a pointer into
+    // the materialized pos1 buffer, or a lazily computed stack buffer for
+    // visit-time evaluation (gap_align_ev).  (Function pointer, not a
+    // template: this block has C linkage.)
+    int gap_align_core(const i32* p0,
+                       const i32* (*p1_of)(void*, i32), void* pctx,
+                       int chain, int plane,
+                       i32 loc_cat, i64 seed_pos) {
         if (snp_thres < 2) return 0;
-        const i32* p0 = cx->pos0 + ci * KPOS;
         i32 ret0 = p0[snp_thres - 2];
         if (ret0 < (i32)(seed_pos + cx->seed_size)) return 0;
         const i32 gap2 = 2 * cx->gap;
@@ -499,7 +570,7 @@ struct ScanState {
             i32 shift1 = shift < 0 ? shift : 0;
             if (snp_thres < 1 + t) break;
             i32 rl = L - t - 1;
-            const i32* mmi2 = cx->pos1 + (ci * gap2 + (tt - 1)) * KPOS;
+            const i32* mmi2 = p1_of(pctx, tt);
             for (i32 i = 0; i < snp_thres - t; ++i) {
                 i32 gpos = p0[i];
                 if (gpos < cx->gap_edge || gpos >= rl) continue;
@@ -511,12 +582,47 @@ struct ScanState {
                     i32 clip = gpos + cx->gap_edge - L - shift1;
                     if (clip > 0) gpos -= clip;
                     H h;
-                    resolve(cx->cand_loc[ci], plane, shift, gpos, h);
+                    resolve(loc_cat, plane, shift, gpos, h);
                     return add_hit(chain, gap_snp, h);
                 }
             }
         }
         return 0;
+    }
+
+    struct P1Mat { const RefCtx* cx; i64 ci; };
+    static const i32* p1_mat_(void* p, i32 tt) {
+        P1Mat* m = (P1Mat*)p;
+        return m->cx->pos1 + (m->ci * 2 * m->cx->gap + (tt - 1)) * KPOS;
+    }
+
+    struct P1Lazy {
+        const EvalCtx* ev; i32 lc; int plane; i64 r2; i32* buf;
+    };
+    static const i32* p1_lazy_(void* p, i32 tt) {
+        P1Lazy* z = (P1Lazy*)p;
+        i32 t = (tt + 1) / 2;
+        i32 shift = (1 - (tt % 2) * 2) * t;
+        mm_pattern1(z->ev, z->lc + shift, z->plane, z->r2, z->buf);
+        return z->buf;
+    }
+
+    int gap_align(i64 ci, int chain, int plane, i64 seed_pos) {
+        P1Mat m{cx, ci};
+        return gap_align_core(cx->pos0 + ci * KPOS, p1_mat_, &m,
+                              chain, plane, cx->cand_loc[ci], seed_pos);
+    }
+
+    // visit-time variant: patterns extracted on demand, bounded by the
+    // same snp_thres aborts the reference's per-candidate GapAlign has
+    int gap_align_ev(i32 lc, int chain, int plane, i64 seed_pos, i64 r2) {
+        if (snp_thres < 2) return 0;   // skip pattern-0 work entirely
+        const EvalCtx* ev = cx->ev;
+        i32 p0buf[KPOS], p1buf[KPOS];
+        mm_pattern0(ev, lc, plane, r2, p0buf);
+        P1Lazy z{ev, lc, plane, r2, p1buf};
+        return gap_align_core(p0buf, p1_lazy_, &z,
+                              chain, plane, lc, seed_pos);
     }
 
     // SnpAlign(mode) candidate visits (ref: align.cpp:274-316)
@@ -530,7 +636,8 @@ struct ScanState {
             i64 m = g.m, jj = g.jj0;
             if (cbase < 0) {
                 // group never bulk-materialized: evaluate at visit time
-                // (cx->ev must be set; ungapped scans only)
+                // (cx->ev must be set; gapped scans also need
+                // ev->lenmaskP/readlen for the lazy patterns)
                 const EvalCtx* ev = cx->ev;
                 i64 r2 = g.read * 2 + g.chain;
                 u32 sd = ev->seedval[r2 * ev->S + g.h];
@@ -554,6 +661,12 @@ struct ScanState {
                             return;
                         }
                     }
+                    if (cx->gap > 0)
+                        if (gap_align_ev(lc, (int)g.chain, plane, g.h,
+                                         r2)) {
+                            last_abort = true;
+                            return;
+                        }
                     if (++jj >= m) jj -= m;
                 }
                 continue;
@@ -655,6 +768,7 @@ i64 bt_replay_se(
     const i32* ev_ncnt, i32 ev_W, i32 ev_mode,
     const u32* ev_seedval, i32 ev_S,
     const i64* ev_starts, const u32* ev_locs,
+    const u32* ev_lenmask, const i32* ev_readlen,   // gapped visit-time
     // outputs
     i32* out_stratum, i32* out_n0, i32* out_n1,
     i64 hit_cap,
@@ -665,7 +779,8 @@ i64 bt_replay_se(
     RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
               seed_size, gap, gap_edge, max_num_hits, nt3};
     EvalCtx ev{ev_ref32, ev_nw, ev_base, ev_valid, ev_mread, ev_ncnt,
-               ev_W, ev_mode, ev_seedval, ev_S, ev_starts, ev_locs};
+               ev_W, ev_mode, ev_seedval, ev_S, ev_starts, ev_locs,
+               ev_lenmask, ev_readlen};
     if (ev_ref32) cx.ev = &ev;
     ScanState sc;
     i64 hw = 0;
@@ -777,8 +892,10 @@ i64 bt_replay_pe(
     const i64* ev_starts, const u32* ev_locs, i32 ev_mode,
     const u32* ev_base_a, const u32* ev_valid_a, const u32* ev_mread_a,
     const i32* ev_ncnt_a, i32 ev_W_a, const u32* ev_seedval_a, i32 ev_S_a,
+    const u32* ev_lenmask_a, const i32* ev_readlen_a,
     const u32* ev_base_b, const u32* ev_valid_b, const u32* ev_mread_b,
     const i32* ev_ncnt_b, i32 ev_W_b, const u32* ev_seedval_b, i32 ev_S_b,
+    const u32* ev_lenmask_b, const i32* ev_readlen_b,
     // pair outputs
     i32* out_paired,            // [B] RunAlign return (0/1/n)
     i32* out_pair_cnt,          // [B] count in first nonempty bucket
@@ -799,10 +916,10 @@ i64 bt_replay_pe(
                cand_loc_b, seed_size, gap, gap_edge, max_num_hits, nt3};
     EvalCtx eva{ev_ref32, ev_nw, ev_base_a, ev_valid_a, ev_mread_a,
                 ev_ncnt_a, ev_W_a, ev_mode, ev_seedval_a, ev_S_a,
-                ev_starts, ev_locs};
+                ev_starts, ev_locs, ev_lenmask_a, ev_readlen_a};
     EvalCtx evb{ev_ref32, ev_nw, ev_base_b, ev_valid_b, ev_mread_b,
                 ev_ncnt_b, ev_W_b, ev_mode, ev_seedval_b, ev_S_b,
-                ev_starts, ev_locs};
+                ev_starts, ev_locs, ev_lenmask_b, ev_readlen_b};
     if (ev_ref32) { cxa.ev = &eva; cxb.ev = &evb; }
     ScanState sa, sb;
     std::vector<PairRec> pairhits[2 * MAXSNPS + 1];
@@ -1272,6 +1389,53 @@ extern "C" i64 bt_eval_candidates(
         }
     };
     if (n_threads <= 1 || C < 65536) {
+        work(0, C);
+    } else {
+        std::vector<std::thread> ts;
+        i64 per = (C + n_threads - 1) / n_threads;
+        for (i32 t = 0; t < n_threads; ++t) {
+            i64 a = t * per, b2 = std::min(C, a + per);
+            if (a < b2) ts.emplace_back(work, a, b2);
+        }
+        for (auto& t : ts) t.join();
+    }
+    return 0;
+}
+
+// Gapped host evaluation (CountMismatch_new + MismatchPattern0/1,
+// align.h:133-327): per candidate, the full mismatch count PLUS the first
+// KPOS mismatch positions left-to-right (pos0) and, for each of the 2*gap
+// shifted windows, right-to-left as distance-from-read-end (pos1[tt-1]).
+// Bit-identical to the device kernel's gapped outputs (ops/extend.py
+// _first_positions): positions masked by the read-length plane, ascending,
+// padded with map_readlen.  This is what lets host placement serve gap>0
+// waves (BID-seq -M T:- -g 3) without round-tripping i16 position lists
+// through the device link.
+extern "C" i64 bt_eval_candidates_gap(
+    const u32* ref32, i64 nw,
+    const i32* loc, const i8* plane, const i32* row, i64 C,
+    const u32* base, const u32* valid, const u32* mread, const u32* lenmask,
+    const i32* ncnt, const i32* readlen, i32 W, i32 mode, i32 gap,
+    u8* out_counts, i32* out_pos0, i32* out_pos1, i32 n_threads)
+{
+    const i32 gap2 = 2 * gap;
+    EvalCtx ev{ref32, nw, base, valid, mread, ncnt, W, mode,
+               nullptr, 0, nullptr, nullptr, lenmask, readlen};
+    auto work = [&](i64 c0, i64 c1) {
+        for (i64 c = c0; c < c1; ++c) {
+            int pl = (int)(u8)plane[c];
+            i64 r = row[c];
+            out_counts[c] = (u8)eval_cand(&ev, loc[c], pl, r);
+            mm_pattern0(&ev, loc[c], pl, r, out_pos0 + c * KPOS);
+            for (i32 tt = 1; tt <= gap2; ++tt) {
+                i32 t = (tt + 1) / 2;
+                i32 shift = (1 - (tt % 2) * 2) * t;  // odd -> -t, even -> +t
+                mm_pattern1(&ev, loc[c] + shift, pl, r,
+                            out_pos1 + (c * gap2 + (tt - 1)) * KPOS);
+            }
+        }
+    };
+    if (n_threads <= 1 || C < 16384) {
         work(0, C);
     } else {
         std::vector<std::thread> ts;

@@ -279,9 +279,9 @@ class PairEndAligner:
                 ens(enc_probe)
             _, _, total = self.native_a.build_groups(enc_probe, ridx)
             self.native_a.state[:] = state0
-            if (p.gap == 0 and total and host_eval_policy(p, total)):
-                # the strata ladder bounds evaluated volume itself; no need
-                # to split the batch for eager-table memory
+            if total and host_eval_policy(p, total):
+                # the lazy visit-time scan bounds evaluated volume itself;
+                # no need to split the batch for eager-table memory
                 pass
             elif total > self.MAX_BATCH_CANDS:
                 n_split = -(-int(total) // self.MAX_BATCH_CANDS)
@@ -365,6 +365,15 @@ class PairEndAligner:
         for enc, nat, groups, goff in built:
             ng = groups.shape[0]
             off = np.full(ng, -1, np.int64)
+            if p.gap > 0:
+                # gapped: the fused fill+eval has no position lists, so
+                # EVERY group is evaluated at visit time (gap_align_ev
+                # computes MismatchPattern0/1 lazily under the scan's
+                # snp_thres aborts, like the reference's per-candidate
+                # GapAlign, align.cpp:348-410)
+                st.append((np.zeros(0, np.int32), np.zeros(0, np.int32),
+                           off))
+                continue
             sel = np.flatnonzero(groups[:, 2] < 1)
             n0 = int(groups[sel, 6].sum())
             locb = np.empty(n0, np.int32)
@@ -395,9 +404,11 @@ class PairEndAligner:
             built.append((enc, nat, groups, goff))
             total_all += int(total)
 
-        if p.gap == 0 and total_all and host_eval_policy(p, total_all):
+        if total_all and host_eval_policy(p, total_all):
             waves = self._pe_lazy(built)
         else:
+            from ..native import (host_eval_candidates,
+                                  host_eval_candidates_gap)
             cand, handles = [], []
             for enc, nat, groups, goff in built:
                 ng = groups.shape[0]
@@ -405,11 +416,28 @@ class PairEndAligner:
                 loc, plane, row = nat.fill_groups(enc, groups,
                                                   np.arange(ng), off)
                 cand.append((loc, None, None, groups, goff))
-                handles.append(
-                    self.dev.extend_async(enc, loc, plane.astype(np.int32),
-                                          row) if loc.size else None)
-            fetched = [self.dev.fetch(h) if h is not None
-                       else (np.zeros(0, np.int32), None, None)
+                if loc.size and host_eval_policy(p, loc.size):
+                    # host SIMD evaluation (gapped variant returns the
+                    # pos0/pos1 lists the gapped replay consumes)
+                    if p.gap > 0:
+                        c, p0, p1 = host_eval_candidates_gap(
+                            p, self.ref, enc, loc, plane, row,
+                            n_threads=self.nt_hint)
+                        handles.append(
+                            ("host", c.astype(np.int32), p0, p1))
+                    else:
+                        c = host_eval_candidates(
+                            p, self.ref, enc, loc, plane, row,
+                            n_threads=self.nt_hint)
+                        handles.append(
+                            ("host", c.astype(np.int32), None, None))
+                else:
+                    handles.append(self.dev.extend_async(
+                        enc, loc, plane.astype(np.int32), row)
+                        if loc.size else None)
+            fetched = [h[1:] if isinstance(h, tuple) and h[0] == "host"
+                       else (self.dev.fetch(h) if h is not None
+                             else (np.zeros(0, np.int32), None, None))
                        for h in handles]
             out1 = replay_pe(p, self.ref, enc_a, cand[0], fetched[0],
                              enc_b, cand[1], fetched[1])

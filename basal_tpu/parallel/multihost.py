@@ -236,49 +236,72 @@ class RoutedSeedIndex:
             self.t_exchange += time.time() - t0
 
     def _round_inner(self, q, done, mhu):
+        """4 collectives per round (was 8): the fixed-latency cost of the
+        cross-process backend is per-collective, so status+query-size merge
+        into one small header all-gather, and each owner's reply meta+locs
+        merge into one u32 payload sized by a combined reply header.
+        Rounds where NO process has queries skip the payload collectives
+        entirely (drain heartbeats are a single [2]-word all-gather)."""
         import time
         tp = self.t_phase
         t = time.time()
-        flags = np.asarray(mhu.process_allgather(
-            np.array([1 if done else 0], np.int64))).reshape(-1)
+        hdr = np.asarray(mhu.process_allgather(
+            np.array([1 if done else 0, len(q)], np.int64))).reshape(
+                self.nproc, 2)
         tp["status"] += time.time() - t
-        if flags.sum() == self.nproc:
+        if int(hdr[:, 0].sum()) == self.nproc:
             return True
+        qsizes = hdr[:, 1]
+        if int(qsizes.sum()) == 0:
+            return False
         t = time.time()
-        queries = _allgather_ragged(q)
+        # pow2 bucket padding: the allgather XLA program compiles once per
+        # bucket, not once per round
+        m = 1 << (max(int(qsizes.max()), 1) - 1).bit_length()
+        pad = np.zeros(m, np.uint32)
+        pad[:len(q)] = q
+        qfull = np.asarray(mhu.process_allgather(pad)).reshape(self.nproc, m)
+        queries = [qfull[p, :int(qsizes[p])] for p in range(self.nproc)]
         tp["qgather"] += time.time() - t
-        self.exchanged_queries += sum(
-            len(qq) for i, qq in enumerate(queries) if i != self.pid)
+        self.exchanged_queries += int(qsizes.sum()) - int(qsizes[self.pid])
         # answer every requester's in-range queries (our own list never
         # overlaps our range: ensure_batch serves those locally)
         t = time.time()
-        hdr_mine = np.zeros(self.nproc, np.int64)
+        hdr_mine = np.zeros(self.nproc + 1, np.int64)
         meta_parts, locs_parts = [], []
         for r, qq in enumerate(queries):
             idx, c, n1s, locs = self._answer_one(qq)
             hdr_mine[r] = len(idx)
             meta_parts.append(np.concatenate([idx, c, n1s]).astype(np.int32))
             locs_parts.append(locs)
+        meta_cat = (np.concatenate(meta_parts) if meta_parts
+                    else np.zeros(0, np.int32))
+        locs_cat = (np.concatenate(locs_parts) if locs_parts
+                    else np.zeros(0, np.uint32))
+        payload = np.concatenate([meta_cat.view(np.uint32), locs_cat])
+        hdr_mine[self.nproc] = len(payload)
         tp["answer"] += time.time() - t
         t = time.time()
         hdrs = np.asarray(mhu.process_allgather(hdr_mine)).reshape(
-            self.nproc, self.nproc)
-        metas = _allgather_ragged(np.concatenate(meta_parts)
-                                  if meta_parts else np.zeros(0, np.int32))
-        locss = _allgather_ragged(np.concatenate(locs_parts)
-                                  if locs_parts else np.zeros(0, np.uint32))
+            self.nproc, self.nproc + 1)
+        m2 = 1 << (max(int(hdrs[:, self.nproc].max()), 1) - 1).bit_length()
+        pp = np.zeros(m2, np.uint32)
+        pp[:len(payload)] = payload
+        pfull = np.asarray(mhu.process_allgather(pp)).reshape(self.nproc, m2)
         tp["rgather"] += time.time() - t
-        self.exchanged_locs += sum(
-            len(l) for i, l in enumerate(locss) if i != self.pid)
         # parse the owners' reply segments addressed to us; segment offsets
-        # come from the headers + the counts inside earlier segments
+        # come from the combined header + the counts inside earlier segments
         t = time.time()
         myq = queries[self.pid]
         for o in range(self.nproc):
             if o == self.pid:
                 continue
             lo, hi = self.bounds[o], self.bounds[o + 1]
-            meta_o, locs_o = metas[o], locss[o]
+            meta_len = 3 * int(hdrs[o, :self.nproc].sum())
+            total_o = int(hdrs[o, self.nproc])
+            meta_o = pfull[o, :meta_len].view(np.int32)
+            locs_o = pfull[o, meta_len:total_o]
+            self.exchanged_locs += total_o - meta_len
             moff = 0
             loff = 0
             for r in range(self.nproc):

@@ -24,6 +24,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 ORACLE = Path(__file__).resolve().parents[1] / ".oracle" / "basal"
 
+# Fail LOUDLY if the C++ engine does not build: the suite would otherwise
+# silently pass through the pure-Python twins (golden but ~100x slower),
+# leaving native-path regressions untested.
+if not os.environ.get("BASAL_TPU_NO_NATIVE"):
+    from basal_tpu.native import native_available
+    assert native_available(), (
+        "native engine failed to build -- see stderr; "
+        "set BASAL_TPU_NO_NATIVE=1 to test the Python twins on purpose")
+
 
 def have_oracle() -> bool:
     return ORACLE.exists()

@@ -91,3 +91,24 @@ def test_gap_with_conversions(tmp_path, rng):
     conv = convert_reads(rng, g, 25, 100, "C:T", rate=0.5, sub_rate=0.02)
     diff_gap(tmp_path, rng, dreads + conv, "C:T",
              ["-S", "21", "-g", "2", "-u", "-v", "0.1"], g)
+
+
+def test_bidseq_host_eval_repeats(tmp_path, rng, monkeypatch):
+    """Gapped host fast lane (bt_eval_candidates_gap): with evaluation
+    forced onto the host, a repeat-heavy BID-seq run (-M T:- -g 3, the
+    candidate-volume worst case) must stay byte-identical to the oracle —
+    counts AND the pos0/pos1 mismatch-position lists the gapped replay
+    consumes come from the C++ evaluator instead of the device kernel."""
+    monkeypatch.setenv("BASAL_TPU_HOST_EVAL", "1")
+    g = (random_genome(rng, 6000) + random_genome(rng, 271) * 10
+         + random_genome(rng, 3000))
+    reads = deletion_reads(rng, g, 60, 100)
+    diff_gap(tmp_path, rng, reads, "T:-",
+             ["-S", "2", "-n", "1", "-g", "3", "-R", "-u"], g)
+
+
+def test_gap_host_eval_insertions(tmp_path, rng, monkeypatch):
+    monkeypatch.setenv("BASAL_TPU_HOST_EVAL", "1")
+    g = random_genome(rng, 9000)
+    reads = insertion_reads(rng, g, 40, 100)
+    diff_gap(tmp_path, rng, reads, "C:T", ["-S", "17", "-g", "3", "-u"], g)
