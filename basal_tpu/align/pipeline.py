@@ -453,7 +453,8 @@ class SingleEndAligner:
             t0 = time.time()
             res = self.native.replay_se(enc, groups, goff, z, None, z,
                                         None, None, counts_off=off,
-                                        inline_eval=handle is not None)
+                                        inline_eval=handle is not None,
+                                        n_threads=self.nt_hint)
             if handle is not None and handle[1] >= 16384:
                 # conservative host-cost sample (includes the scan itself)
                 self._host_t += time.time() - t0
@@ -464,7 +465,8 @@ class SingleEndAligner:
                               else self._fetch_expand(handle, uinv))
         if eff >= 99:
             res = self.native.replay_se(enc, groups, goff, loc, plane,
-                                        counts, pos0, pos1, counts_off=off)
+                                        counts, pos0, pos1, counts_off=off,
+                                        n_threads=self.nt_hint)
             return self._emit_native(enc, [(None, res)])
 
         # strata ladder.  Candidate/count arrays grow each wave; appending
@@ -511,7 +513,8 @@ class SingleEndAligner:
                                         cnt_buf, pos0_buf, pos1_buf,
                                         mode_limit=lim,
                                         filtered_override=filt,
-                                        counts_off=off)
+                                        counts_off=off,
+                                        n_threads=self.nt_hint)
             incomplete = res[0] == -2
             newly = (~incomplete) & (~done)
             waves.append((newly, res))

@@ -380,10 +380,12 @@ class NativeBatch:
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
                   filtered_override=None, counts_off=None,
-                  inline_eval=False):
+                  inline_eval=False, n_threads=0):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
+        if n_threads <= 0:
+            n_threads = min(_ncpu(), 8)
         counts_dev = np.ascontiguousarray(counts_dev, np.int32)
         pos0c = np.ascontiguousarray(pos0, np.int32) if pos0 is not None else None
         pos1c = np.ascontiguousarray(pos1, np.int32) if pos1 is not None else None
@@ -424,7 +426,8 @@ class NativeBatch:
                 ctypes.c_int64(hit_cap),
                 _p(hit_chr, ctypes.c_int32), _p(hit_loc, ctypes.c_int32),
                 _p(hit_gsz, ctypes.c_int32), _p(hit_gpos, ctypes.c_int32),
-                _p(hit_chain, ctypes.c_uint8), _p(hoff, ctypes.c_int64))
+                _p(hit_chain, ctypes.c_uint8), _p(hoff, ctypes.c_int64),
+                ctypes.c_int32(n_threads))
             if rc == 0:
                 break
             hit_cap *= 4
@@ -434,7 +437,7 @@ class NativeBatch:
 
 def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
               mode_limit=99, counts_off_a=None, counts_off_b=None,
-              filtered_a=None, filtered_b=None, index=None):
+              filtered_a=None, filtered_b=None, index=None, n_threads=0):
     """C++ PE lockstep replay (bt_replay_pe).  Returns
     (paired, pair_cnt, pair_data, pair_offsets,
      (stat, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) x 2).
@@ -568,6 +571,8 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
             args += [_p(e["hchr"], ctypes.c_int32), _p(e["hloc"], ctypes.c_int32),
                      _p(e["hgsz"], ctypes.c_int32), _p(e["hgpos"], ctypes.c_int32),
                      _p(e["hchain"], ctypes.c_uint8), _p(e["hoff"], ctypes.c_int64)]
+        args += [ctypes.c_int32(n_threads if n_threads > 0
+                                else min(_ncpu(), 8))]
         rc = lib.bt_replay_pe(*args)
         if rc == 0:
             return out_paired, out_pair_cnt, pair_data, pair_offsets, ends

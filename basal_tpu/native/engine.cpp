@@ -773,7 +773,8 @@ i64 bt_replay_se(
     i32* out_stratum, i32* out_n0, i32* out_n1,
     i64 hit_cap,
     i32* hit_chr, i32* hit_loc, i32* hit_gsz, i32* hit_gpos, u8* hit_chain,
-    i64* hit_offsets /*[B+1]*/)
+    i64* hit_offsets /*[B+1]*/,
+    i32 n_threads)
 {
     (void)cand_plane;
     RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
@@ -782,36 +783,86 @@ i64 bt_replay_se(
                ev_W, ev_mode, ev_seedval, ev_S, ev_starts, ev_locs,
                ev_lenmask, ev_readlen};
     if (ev_ref32) cx.ev = &ev;
-    ScanState sc;
+    // reads are independent: thread over contiguous read chunks with
+    // per-thread hit sinks, then stitch in read order (bit-identical to
+    // the serial scan; the reference parallelizes the same way with its
+    // -p worker pool, main.cpp:56-130)
+    i32 nt = n_threads <= 0 ? 1 : n_threads;
+    if (B < 512) nt = 1;
+    if (nt > B) nt = B > 0 ? B : 1;
+    struct Sink {
+        std::vector<i32> chr, loc, gsz, gpos;
+        std::vector<u8> chain;
+    };
+    std::vector<Sink> sinks(nt);
+    i32 per = (B + nt - 1) / nt;
+    auto work = [&](i32 t) {
+        Sink& hs = sinks[t];
+        ScanState sc;
+        for (i32 r = t * per, r1 = std::min(B, (t + 1) * per); r < r1; ++r) {
+            out_stratum[r] = 0; out_n0[r] = 0; out_n1[r] = 0;
+            if (filtered[r]) { out_stratum[r] = -1; continue; }
+            sc.init(&cx, groups, group_offsets[r], group_offsets[r + 1],
+                    map_len[r], read_max_snp[r], seedseg[r]);
+            sc.counts_off = counts_off;
+            // RunAlign stratum loop, truncated at mode_limit (wave 1)
+            bool resolved = true;
+            {
+                i32 lim = std::min(sc.segnum, mode_limit);
+                bool stopped = false;
+                for (i32 mode = 0; mode < lim; ++mode) {
+                    sc.step_mode(mode);
+                    if (sc.last_abort) { stopped = true; break; }
+                    if (!nt3 && sc.has_hits_le(mode)) {
+                        stopped = true;
+                        break;
+                    }
+                }
+                if (!stopped && sc.segnum > mode_limit)
+                    resolved = false;   // needs wave 2
+            }
+            if (!resolved) { out_stratum[r] = -2; continue; }
+            i32 best = sc.best_stratum();
+            out_stratum[r] = best;
+            if (best > sc.rms) continue;
+            out_n0[r] = (i32)sc.buckets[0][best].size();
+            out_n1[r] = (i32)sc.buckets[1][best].size();
+            for (int c = 0; c < 2; ++c)
+                for (const H& h : sc.buckets[c][best]) {
+                    hs.chr.push_back(h.chr); hs.loc.push_back(h.loc);
+                    hs.gsz.push_back(h.gsz); hs.gpos.push_back(h.gpos);
+                    hs.chain.push_back((u8)c);
+                }
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < nt; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    i64 total = 0;
+    for (auto& s : sinks) total += (i64)s.chr.size();
+    if (total > hit_cap) return -1;
     i64 hw = 0;
     for (i32 r = 0; r < B; ++r) {
         hit_offsets[r] = hw;
-        out_stratum[r] = 0; out_n0[r] = 0; out_n1[r] = 0;
-        if (filtered[r]) { out_stratum[r] = -1; continue; }
-        sc.init(&cx, groups, group_offsets[r], group_offsets[r + 1],
-                map_len[r], read_max_snp[r], seedseg[r]);
-        sc.counts_off = counts_off;
-        // RunAlign stratum loop, truncated at mode_limit for the first wave
-        bool resolved = true;
-        {
-            i32 lim = std::min(sc.segnum, mode_limit);
-            i32 mode = 0;
-            bool stopped = false;
-            for (; mode < lim; ++mode) {
-                sc.step_mode(mode);
-                if (sc.last_abort) { stopped = true; break; }
-                if (!nt3 && sc.has_hits_le(mode)) { stopped = true; break; }
-            }
-            if (!stopped && sc.segnum > mode_limit)
-                resolved = false;   // would keep scanning -> needs wave 2
-        }
-        if (!resolved) { out_stratum[r] = -2; continue; }
-        if (emit_best(sc, out_stratum + r, out_n0 + r, out_n1 + r, hw,
-                      hit_cap, hit_chr, hit_loc, hit_gsz, hit_gpos,
-                      hit_chain) < 0)
-            return -1;
+        hw += out_n0[r] + out_n1[r];
     }
     hit_offsets[B] = hw;
+    i64 base = 0;
+    for (auto& s : sinks) {
+        i64 n = (i64)s.chr.size();
+        if (n) {
+            std::memcpy(hit_chr + base, s.chr.data(), n * sizeof(i32));
+            std::memcpy(hit_loc + base, s.loc.data(), n * sizeof(i32));
+            std::memcpy(hit_gsz + base, s.gsz.data(), n * sizeof(i32));
+            std::memcpy(hit_gpos + base, s.gpos.data(), n * sizeof(i32));
+            std::memcpy(hit_chain + base, s.chain.data(), n);
+        }
+        base += n;
+    }
     return 0;
 }
 
@@ -908,7 +959,8 @@ i64 bt_replay_pe(
     i32* hchr_a, i32* hloc_a, i32* hgsz_a, i32* hgpos_a, u8* hchain_a,
     i64* hoff_a,
     i32* hchr_b, i32* hloc_b, i32* hgsz_b, i32* hgpos_b, u8* hchain_b,
-    i64* hoff_b)
+    i64* hoff_b,
+    i32 n_threads)
 {
     RefCtx cxa{anchors, rc_off, sizes, n_chr, counts_a, pos0_a, pos1_a,
                cand_loc_a, seed_size, gap, gap_edge, max_num_hits, nt3};
@@ -921,109 +973,166 @@ i64 bt_replay_pe(
                 ev_ncnt_b, ev_W_b, ev_mode, ev_seedval_b, ev_S_b,
                 ev_starts, ev_locs, ev_lenmask_b, ev_readlen_b};
     if (ev_ref32) { cxa.ev = &eva; cxb.ev = &evb; }
-    ScanState sa, sb;
-    std::vector<PairRec> pairhits[2 * MAXSNPS + 1];
-    i64 pw = 0, hwa = 0, hwb = 0;
-
-    for (i32 r = 0; r < B; ++r) {
-        pair_offsets[r] = pw;
-        hoff_a[r] = hwa; hoff_b[r] = hwb;
-        out_paired[r] = 0; out_pair_cnt[r] = 0;
-        stat_a[r] = -1; stat_b[r] = -1;
-        n0_a[r] = n1_a[r] = n0_b[r] = n1_b[r] = 0;
-        bool fa = filtered_a[r], fb = filtered_b[r];
-        if (!fa) {
-            sa.init(&cxa, groups_a, goff_a[r], goff_a[r + 1], map_len_a[r],
-                    rms_a[r], seedseg_a[r]);
-            sa.counts_off = counts_off_a;
-        }
-        if (!fb) {
-            sb.init(&cxb, groups_b, goff_b[r], goff_b[r + 1], map_len_b[r],
-                    rms_b[r], seedseg_b[r]);
-            sb.counts_off = counts_off_b;
-        }
-        i32 paired = 0;
-        bool incomplete = false;
-        if (!fa && !fb) {
-            for (int i = 0; i <= 2 * MAXSNPS; ++i) pairhits[i].clear();
-            i32 n = 0;
-            i32 maxi = std::max(sa.rms, sb.rms);
-            for (i32 i = 0; i <= maxi; ++i) {
-                // mode i needs its candidates materialized on any end that
-                // still has segment i to scan
-                if (i >= mode_limit && (i < sa.segnum || i < sb.segnum)) {
-                    incomplete = true;
-                    break;
-                }
-                sa.step_mode(i);
-                sb.step_mode(i);
-                sa.sort_bucket(i);
-                sb.sort_bucket(i);
-                n += get_pairs(sa, sb, i, i, pairhits, max_num_hits,
-                               min_insert, max_insert);
-                for (i32 j = 0; j < i; ++j) {
-                    n += get_pairs(sa, sb, i, j, pairhits, max_num_hits,
-                                   min_insert, max_insert);
-                    n += get_pairs(sa, sb, j, i, pairhits, max_num_hits,
-                                   min_insert, max_insert);
-                }
-                if (nt3) continue;
-                if (n > 0) { paired = 1; break; }
+    // pairs are independent: thread over contiguous pair chunks with
+    // per-thread sinks (pair records + both ends' hits), stitched in pair
+    // order — bit-identical to the serial lockstep
+    i32 nt = n_threads <= 0 ? 1 : n_threads;
+    if (B < 256) nt = 1;
+    if (nt > B) nt = B > 0 ? B : 1;
+    struct HSink {
+        std::vector<i32> chr, loc, gsz, gpos;
+        std::vector<u8> chain;
+    };
+    struct Sink { std::vector<i32> pairdat; HSink a, b; };
+    std::vector<Sink> sinks(nt);
+    i32 per = (B + nt - 1) / nt;
+    auto emit_sink = [](const ScanState& s, i32* stat, i32* pn0, i32* pn1,
+                        HSink& hs) {
+        i32 best = s.best_stratum();
+        *stat = best;
+        if (best > s.rms) return;
+        *pn0 = (i32)s.buckets[0][best].size();
+        *pn1 = (i32)s.buckets[1][best].size();
+        for (int c = 0; c < 2; ++c)
+            for (const H& h : s.buckets[c][best]) {
+                hs.chr.push_back(h.chr); hs.loc.push_back(h.loc);
+                hs.gsz.push_back(h.gsz); hs.gpos.push_back(h.gpos);
+                hs.chain.push_back((u8)c);
             }
-            if (!paired) paired = n;
-            if (incomplete) { out_paired[r] = -2; continue; }
-            if (paired) {
-                for (int i = 0; i <= 2 * MAXSNPS; ++i) {
-                    if (pairhits[i].empty()) continue;
-                    i64 cnt = (i64)pairhits[i].size();
-                    if (pw + cnt > pair_cap) return -1;
-                    out_pair_cnt[r] = (i32)cnt;
-                    for (const PairRec& pr : pairhits[i]) {
-                        i32* d = pair_data + pw * 12;
-                        d[0] = pr.chain; d[1] = pr.na; d[2] = pr.nb;
-                        d[3] = pr.insert;
-                        d[4] = pr.a.chr; d[5] = pr.a.loc; d[6] = pr.a.gsz;
-                        d[7] = pr.a.gpos;
-                        d[8] = pr.b.chr; d[9] = pr.b.loc; d[10] = pr.b.gsz;
-                        d[11] = pr.b.gpos;
-                        ++pw;
+    };
+    auto work = [&](i32 t) {
+        Sink& sk = sinks[t];
+        ScanState sa, sb;
+        std::vector<PairRec> pairhits[2 * MAXSNPS + 1];
+        for (i32 r = t * per, r1 = std::min(B, (t + 1) * per); r < r1; ++r) {
+            out_paired[r] = 0; out_pair_cnt[r] = 0;
+            stat_a[r] = -1; stat_b[r] = -1;
+            n0_a[r] = n1_a[r] = n0_b[r] = n1_b[r] = 0;
+            bool fa = filtered_a[r], fb = filtered_b[r];
+            if (!fa) {
+                sa.init(&cxa, groups_a, goff_a[r], goff_a[r + 1],
+                        map_len_a[r], rms_a[r], seedseg_a[r]);
+                sa.counts_off = counts_off_a;
+            }
+            if (!fb) {
+                sb.init(&cxb, groups_b, goff_b[r], goff_b[r + 1],
+                        map_len_b[r], rms_b[r], seedseg_b[r]);
+                sb.counts_off = counts_off_b;
+            }
+            i32 paired = 0;
+            bool incomplete = false;
+            if (!fa && !fb) {
+                for (int i = 0; i <= 2 * MAXSNPS; ++i) pairhits[i].clear();
+                i32 n = 0;
+                i32 maxi = std::max(sa.rms, sb.rms);
+                for (i32 i = 0; i <= maxi; ++i) {
+                    // mode i needs its candidates materialized on any end
+                    // that still has segment i to scan
+                    if (i >= mode_limit && (i < sa.segnum || i < sb.segnum)) {
+                        incomplete = true;
+                        break;
                     }
-                    break;
+                    sa.step_mode(i);
+                    sb.step_mode(i);
+                    sa.sort_bucket(i);
+                    sb.sort_bucket(i);
+                    n += get_pairs(sa, sb, i, i, pairhits, max_num_hits,
+                                   min_insert, max_insert);
+                    for (i32 j = 0; j < i; ++j) {
+                        n += get_pairs(sa, sb, i, j, pairhits, max_num_hits,
+                                       min_insert, max_insert);
+                        n += get_pairs(sa, sb, j, i, pairhits, max_num_hits,
+                                       min_insert, max_insert);
+                    }
+                    if (nt3) continue;
+                    if (n > 0) { paired = 1; break; }
                 }
-            }
-        } else {
-            // orphan end: SE-style scan, truncated at mode_limit
-            auto run_lim = [&](ScanState& s) {
-                i32 lim = std::min(s.segnum, mode_limit);
-                bool stopped = false;
-                for (i32 mode = 0; mode < lim; ++mode) {
-                    s.step_mode(mode);
-                    if (s.last_abort) { stopped = true; break; }
-                    if (!cxa.nt3 && s.has_hits_le(mode)) {
-                        stopped = true;
+                if (!paired) paired = n;
+                if (incomplete) { out_paired[r] = -2; continue; }
+                if (paired) {
+                    for (int i = 0; i <= 2 * MAXSNPS; ++i) {
+                        if (pairhits[i].empty()) continue;
+                        out_pair_cnt[r] = (i32)pairhits[i].size();
+                        for (const PairRec& pr : pairhits[i]) {
+                            i32 d[12] = {pr.chain, pr.na, pr.nb, pr.insert,
+                                         pr.a.chr, pr.a.loc, pr.a.gsz,
+                                         pr.a.gpos,
+                                         pr.b.chr, pr.b.loc, pr.b.gsz,
+                                         pr.b.gpos};
+                            sk.pairdat.insert(sk.pairdat.end(), d, d + 12);
+                        }
                         break;
                     }
                 }
-                if (!stopped && s.segnum > mode_limit) incomplete = true;
-            };
-            if (!fa) run_lim(sa);
-            if (!fb) run_lim(sb);
-            if (incomplete) { out_paired[r] = -2; continue; }
+            } else {
+                // orphan end: SE-style scan, truncated at mode_limit
+                auto run_lim = [&](ScanState& s) {
+                    i32 lim = std::min(s.segnum, mode_limit);
+                    bool stopped = false;
+                    for (i32 mode = 0; mode < lim; ++mode) {
+                        s.step_mode(mode);
+                        if (s.last_abort) { stopped = true; break; }
+                        if (!cxa.nt3 && s.has_hits_le(mode)) {
+                            stopped = true;
+                            break;
+                        }
+                    }
+                    if (!stopped && s.segnum > mode_limit) incomplete = true;
+                };
+                if (!fa) run_lim(sa);
+                if (!fb) run_lim(sb);
+                if (incomplete) { out_paired[r] = -2; continue; }
+            }
+            out_paired[r] = paired;
+            if (!fa) emit_sink(sa, stat_a + r, n0_a + r, n1_a + r, sk.a);
+            if (!fb) emit_sink(sb, stat_b + r, n0_b + r, n1_b + r, sk.b);
         }
-        out_paired[r] = paired;
-        if (!fa) {
-            if (emit_best(sa, stat_a + r, n0_a + r, n1_a + r, hwa, hit_cap,
-                          hchr_a, hloc_a, hgsz_a, hgpos_a, hchain_a) < 0)
-                return -1;
-        }
-        if (!fb) {
-            if (emit_best(sb, stat_b + r, n0_b + r, n1_b + r, hwb, hit_cap,
-                          hchr_b, hloc_b, hgsz_b, hgpos_b, hchain_b) < 0)
-                return -1;
-        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < nt; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+    i64 tp = 0, ta = 0, tb = 0;
+    for (auto& s : sinks) {
+        tp += (i64)s.pairdat.size() / 12;
+        ta += (i64)s.a.chr.size();
+        tb += (i64)s.b.chr.size();
+    }
+    if (tp > pair_cap || ta > hit_cap || tb > hit_cap) return -1;
+    i64 pw = 0, hwa = 0, hwb = 0;
+    for (i32 r = 0; r < B; ++r) {
+        pair_offsets[r] = pw;
+        hoff_a[r] = hwa; hoff_b[r] = hwb;
+        pw += out_pair_cnt[r];
+        hwa += n0_a[r] + n1_a[r];
+        hwb += n0_b[r] + n1_b[r];
     }
     pair_offsets[B] = pw;
     hoff_a[B] = hwa; hoff_b[B] = hwb;
+    i64 bp = 0, ba = 0, bb = 0;
+    for (auto& s : sinks) {
+        i64 n = (i64)s.pairdat.size();
+        if (n) std::memcpy(pair_data + bp, s.pairdat.data(),
+                           n * sizeof(i32));
+        bp += n;
+        auto put = [](HSink& h, i32* chr, i32* loc, i32* gsz, i32* gpos,
+                      u8* chain, i64 b) {
+            i64 m = (i64)h.chr.size();
+            if (!m) return m;
+            std::memcpy(chr + b, h.chr.data(), m * sizeof(i32));
+            std::memcpy(loc + b, h.loc.data(), m * sizeof(i32));
+            std::memcpy(gsz + b, h.gsz.data(), m * sizeof(i32));
+            std::memcpy(gpos + b, h.gpos.data(), m * sizeof(i32));
+            std::memcpy(chain + b, h.chain.data(), m);
+            return m;
+        };
+        ba += put(s.a, hchr_a, hloc_a, hgsz_a, hgpos_a, hchain_a, ba);
+        bb += put(s.b, hchr_b, hloc_b, hgsz_b, hgpos_b, hchain_b, bb);
+    }
+    (void)bp;
     return 0;
 }
 

@@ -388,7 +388,8 @@ class PairEndAligner:
             (st[0][1], None, None),
             enc_b, (st[1][0], None, None, built[1][2], built[1][3]),
             (st[1][1], None, None),
-            counts_off_a=st[0][2], counts_off_b=st[1][2], index=self.index)
+            counts_off_a=st[0][2], counts_off_b=st[1][2], index=self.index,
+            n_threads=self.nt_hint)
         return [(np.ones(B, bool), out1)]
 
     def _align_batch_native(self, enc_a, enc_b) -> str:
@@ -440,7 +441,8 @@ class PairEndAligner:
                              else (np.zeros(0, np.int32), None, None))
                        for h in handles]
             out1 = replay_pe(p, self.ref, enc_a, cand[0], fetched[0],
-                             enc_b, cand[1], fetched[1])
+                             enc_b, cand[1], fetched[1],
+                             n_threads=self.nt_hint)
             waves = [(np.ones(B, bool), out1)]
 
         wave_of = np.zeros(B, np.int32)

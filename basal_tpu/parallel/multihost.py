@@ -129,15 +129,25 @@ class RoutedSeedIndex:
                                  nk)
         self.shard: IndexShard = build_shard(
             ref, params, int(self.bounds[pid]), int(self.bounds[pid + 1]))
-        # Dense per-batch tables, filled for queried k-mers only.  counts/n1
-        # are calloc-zeroed (untouched pages read from the shared zero page;
-        # only the ~nonzero entries are ever scatter-written).  starts is
+        # Dense per-batch tables, filled for queried k-mers only.  starts is
         # np.empty on purpose: a slot is dereferenced by the scan only when
         # counts[k] > 0, and every such slot is written by _fill first.
+        # Pages are pre-touched HERE (hugepages where available): the first
+        # scatter into ~270 MB of untouched tables costs seconds of soft
+        # page faults on this class of VM, which would land inside the
+        # timed align phase instead of table allocation.
         self.starts = np.empty(nk, dtype=np.int64)
         self.counts = np.zeros(nk, dtype=np.int32)
         self.n1 = np.zeros(nk, dtype=np.int32)
         self._have = np.zeros(nk, dtype=bool)
+        try:
+            from ..native import madvise_hugepage
+            for a in (self.starts, self.counts, self.n1, self._have):
+                madvise_hugepage(a)
+        except Exception:  # noqa: BLE001 - advisory only
+            pass
+        for a in (self.starts, self.counts, self.n1, self._have):
+            a.reshape(-1)[::512] = 0  # touch every page once
         self._locs = np.zeros(1024, dtype=np.uint32)
         self._locs_n = 0
         # stats for the scaling report
@@ -319,12 +329,48 @@ class RoutedSeedIndex:
         tp["parse"] += time.time() - t
         return False
 
+    # -- free-running routing service -----------------------------------
+    # A dedicated thread runs collective rounds continuously, so a peer's
+    # query round is answered within ~one round-trip even while THIS
+    # process is deep in its align phase.  Without it, a process that
+    # needs one more routing round than its peer blocks until the peer's
+    # entire align loop finishes (the drain call) — seconds of skew-wait
+    # measured on the 2-host bench.  Every process runs the same loop, so
+    # the per-round collective sequences stay paired; rounds with no
+    # queries anywhere are a single [2]-word heartbeat (see _round_inner).
+
+    def _service_loop(self):
+        import threading
+        empty = np.zeros(0, np.uint32)
+        while True:
+            with self._cv:
+                q = self._pending_q
+                want_done = self._drain_flag and q is None
+            finished = self._round(q if q is not None else empty, want_done)
+            if q is not None:
+                with self._cv:
+                    self._pending_q = None
+                    self._cv.notify_all()
+            if finished:
+                return
+
+    def _start_service(self):
+        import threading
+        if getattr(self, "_svc", None) is None:
+            self._cv = threading.Condition()
+            self._pending_q = None
+            self._drain_flag = False
+            self._svc = threading.Thread(target=self._service_loop,
+                                         daemon=True)
+            self._svc.start()
+
     def ensure_batch(self, enc) -> None:
         """One batched routing round: fetch every not-yet-present k-mer this
         batch's seed probes can touch (enc.seedval holds the value at every
         start offset, so the query set is complete before any index read).
         Own-range k-mers are served from the local shard without touching
-        the network; only foreign-range queries enter the collective."""
+        the network; only foreign-range queries enter the service thread's
+        next collective round."""
         nk = self.params.total_kmers
         q = enc.seedval.reshape(-1)
         q = np.unique(q[q < nk]).astype(np.uint32)
@@ -338,16 +384,22 @@ class RoutedSeedIndex:
             self._fill(local, idx, c, n1s, locs)
         if self.nproc == 1:
             return
-        self._round(q[~own], done=False)
+        self._start_service()
+        with self._cv:
+            self._pending_q = q[~own]
+            while self._pending_q is not None:
+                self._cv.wait()
 
     def drain(self) -> None:
-        """Keep answering peers' routing rounds until every process's read
-        window is exhausted.  Call after the local align loop finishes."""
+        """Signal the service thread that this process's read window is
+        exhausted; it keeps answering peers' rounds until every process is
+        done, then exits.  Call after the local align loop finishes."""
         if self.nproc == 1:
             return
-        empty = np.zeros(0, np.uint32)
-        while not self._round(empty, done=True):
-            pass
+        self._start_service()  # a window with zero batches still serves
+        with self._cv:
+            self._drain_flag = True
+        self._svc.join()
 
 
 def make_multihost_mesh(n_dp_per_host: Optional[int] = None):
