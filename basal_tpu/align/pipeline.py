@@ -248,6 +248,16 @@ class SingleEndAligner:
         self.emitter = SamEmitter(params, ref, self.rng, rrbs_seglen=rrbs_fn)
         self.total_reads = 0
         self.total_candidates = 0
+        # per-stage cost anatomy, printed at -V 2 (the reference keeps the
+        # analogous total_candidates/total_seeds counters, align.h:98)
+        self.stage = {
+            "cand_device": 0,    # evaluated through the accelerator kernel
+            "cand_host": 0,      # evaluated by the host SIMD evaluator
+            "cand_visit": 0,     # left to visit-time eval inside the scan
+            "dedup_saved": 0,    # duplicate (row,loc,plane) uploads avoided
+            "waves_device": 0, "waves_host": 0, "waves_visit": 0,
+            "eager_batches": 0, "ladder_batches": 0, "ladder_waves": 0,
+        }
         from ..native import NativeBatch, native_available
         if use_native is None:
             use_native = (native_available() and params.randseed != 0
@@ -321,6 +331,8 @@ class SingleEndAligner:
             # MismatchPattern0/1 under the scan's snp_thres aborts, like
             # the reference's per-candidate GapAlign, align.cpp:348-410)
             self.total_candidates += int(total)
+            self.stage["cand_visit"] += int(total)
+            self.stage["waves_visit"] += 1
             return ("native", enc, groups, goff, off, None,
                     ("inline", int(total)), None, 99)
         if n1c and self.p.gap == 0 and self._host_eval_policy(n1c):
@@ -335,6 +347,8 @@ class SingleEndAligner:
                 self._host_t += time.time() - t0
                 self._host_n += n1c
             self.total_candidates += n1c
+            self.stage["cand_host"] += n1c
+            self.stage["waves_host"] += 1
             return ("native", enc, groups, goff, off, (loc, None, None),
                     ("host", cnt, None, None), None, eff)
         loc, plane, row = self.native.fill_groups(enc, groups, sel, off)
@@ -389,10 +403,15 @@ class SingleEndAligner:
         # re-evaluate (~2 ns) than to dedup (sort-based np.unique), so the
         # dedup step only runs for device dispatch
         if self._host_eval_policy(loc.size):
+            self.stage["cand_host"] += loc.size
+            self.stage["waves_host"] += 1
             return ("host",) + self._host_eval_timed(enc, loc, plane,
                                                      row), None
 
+        self.stage["waves_device"] += 1
+
         def dispatch(l, p_, r):
+            self.stage["cand_device"] += l.size
             return self.dev.extend_async(enc, l, p_.astype(np.int32), r)
 
         if loc.size < 4 * len(enc.reads):
@@ -401,6 +420,7 @@ class SingleEndAligner:
                | (loc.astype(np.int64) << 1) | plane.astype(np.int64))
         uniq, inv = np.unique(key, return_inverse=True)
         if len(uniq) < 0.75 * len(key):
+            self.stage["dedup_saved"] += len(key) - len(uniq)
             order = np.argsort(inv, kind="stable")
             starts = np.searchsorted(inv[order], np.arange(len(uniq)))
             first = order[starts]
@@ -464,6 +484,7 @@ class SingleEndAligner:
         counts, pos0, pos1 = (fetched if fetched is not None
                               else self._fetch_expand(handle, uinv))
         if eff >= 99:
+            self.stage["eager_batches"] += 1
             res = self.native.replay_se(enc, groups, goff, loc, plane,
                                         counts, pos0, pos1, counts_off=off,
                                         n_threads=self.nt_hint)
@@ -477,6 +498,7 @@ class SingleEndAligner:
         # buffers is safe, and int32 buffers make replay_se's
         # ascontiguousarray a no-op.
         read_of_group = groups[:, 0]
+        self.stage["ladder_batches"] += 1
         waves = []
         done = np.zeros(len(enc.reads), dtype=bool)
         lim = eff
@@ -508,6 +530,7 @@ class SingleEndAligner:
                 pos0_buf, pos1_buf = g(pos0_buf), g(pos1_buf)
 
         while True:
+            self.stage["ladder_waves"] += 1
             filt = np.ascontiguousarray(enc.filtered | done, np.uint8)
             res = self.native.replay_se(enc, groups, goff, loc_buf, plane,
                                         cnt_buf, pos0_buf, pos1_buf,
@@ -532,6 +555,8 @@ class SingleEndAligner:
                 # mostly wasted past the scan's abort points): finish with
                 # ONE replay that evaluates the remaining candidates at
                 # visit time inside the scan
+                self.stage["cand_visit"] += n2
+                self.stage["waves_visit"] += 1
                 filt = np.ascontiguousarray(enc.filtered | done, np.uint8)
                 res = self.native.replay_se(
                     enc, groups, goff, loc_buf, plane, cnt_buf,
@@ -544,6 +569,8 @@ class SingleEndAligner:
             _grow(cur + n2)
             if n2 and self.p.gap == 0 and self._host_eval_policy(n2):
                 # fused C++ materialize + evaluate straight into the tail
+                self.stage["cand_host"] += n2
+                self.stage["waves_host"] += 1
                 t0 = time.time()
                 self.native.fill_eval_groups(
                     enc, self.ref, groups, sel, off, cur,
@@ -677,6 +704,26 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
             _prof.stop_trace()
 
 
+def stage_report(aligners) -> str:
+    """One-line cost anatomy merged over worker aligners: where candidates
+    were evaluated (device kernel / host SIMD / visit-time in the scan),
+    wave and placement decision counts, dedup savings.  Printed at -V 2;
+    the reference's analogue is its total_candidates/total_seeds counters
+    (align.h:98)."""
+    keys = aligners[0].stage.keys()
+    s = {k: sum(a.stage[k] for a in aligners) for k in keys}
+    n_cand = sum(a.total_candidates for a in aligners) or 1
+    n_reads = sum(a.total_reads for a in aligners) or 1
+    return (f"cost anatomy: {n_cand} candidates ({n_cand/n_reads:.1f}/read) "
+            f"| eval: device {s['cand_device']} host {s['cand_host']} "
+            f"visit-time {s['cand_visit']} dedup-saved {s['dedup_saved']} "
+            f"| waves: device {s['waves_device']} host {s['waves_host']} "
+            f"visit {s['waves_visit']} "
+            f"| batches: eager {s['eager_batches']} "
+            f"ladder {s['ladder_batches']} "
+            f"(ladder waves {s['ladder_waves']})")
+
+
 def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
                     out_fh=None, command_line: str = "basal_tpu",
                     log=lambda *a: None, index_factory=None,
@@ -733,6 +780,7 @@ def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
             f"unique reads: {e.n_unique} ({100.0*e.n_unique/n_total:.1f}%), "
             f"non-unique reads: {e.n_multiple} "
             f"({100.0*e.n_multiple/n_total:.1f}%)")
+        log(stage_report(runner.aligners), 2)
         return aligner
 
     aligner = SingleEndAligner(params, ref, index)
@@ -762,4 +810,5 @@ def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     log(f"aligned reads: {e.n_aligned} ({100.0*e.n_aligned/n_total:.1f}%), "
         f"unique reads: {e.n_unique} ({100.0*e.n_unique/n_total:.1f}%), "
         f"non-unique reads: {e.n_multiple} ({100.0*e.n_multiple/n_total:.1f}%)")
+    log(stage_report([aligner]), 2)
     return aligner

@@ -244,6 +244,11 @@ class PairEndAligner:
                           and not params.rrbs_flag)
         self.native_a = NativeBatch(params, index, ref) if use_native else None
         self.native_b = NativeBatch(params, index, ref) if use_native else None
+        # per-stage cost anatomy (printed at -V 2; SE twin in
+        # align/pipeline.py keeps the richer ladder counters)
+        self.stage = {"cand_enum": 0, "cand_host": 0, "cand_device": 0,
+                      "batches_lazy": 0, "batches_bulk": 0,
+                      "batches_split": 0}
 
     @property
     def dev(self):
@@ -284,6 +289,7 @@ class PairEndAligner:
                 # no need to split the batch for eager-table memory
                 pass
             elif total > self.MAX_BATCH_CANDS:
+                self.stage["batches_split"] += 1
                 n_split = -(-int(total) // self.MAX_BATCH_CANDS)
                 step = max(256, len(reads_a) // n_split)
                 out = []
@@ -379,6 +385,7 @@ class PairEndAligner:
             locb = np.empty(n0, np.int32)
             cntb = np.empty(n0, np.int32)
             if n0:
+                self.stage["cand_host"] += n0
                 nat.fill_eval_groups(enc, self.ref, groups, sel, off, 0,
                                      locb, cntb, n_threads=self.nt_hint)
             st.append((locb, cntb, off))
@@ -405,9 +412,12 @@ class PairEndAligner:
             built.append((enc, nat, groups, goff))
             total_all += int(total)
 
+        self.stage["cand_enum"] += total_all
         if total_all and host_eval_policy(p, total_all):
+            self.stage["batches_lazy"] += 1
             waves = self._pe_lazy(built)
         else:
+            self.stage["batches_bulk"] += 1
             from ..native import (host_eval_candidates,
                                   host_eval_candidates_gap)
             cand, handles = [], []
@@ -418,6 +428,7 @@ class PairEndAligner:
                                                   np.arange(ng), off)
                 cand.append((loc, None, None, groups, goff))
                 if loc.size and host_eval_policy(p, loc.size):
+                    self.stage["cand_host"] += loc.size
                     # host SIMD evaluation (gapped variant returns the
                     # pos0/pos1 lists the gapped replay consumes)
                     if p.gap > 0:
@@ -433,6 +444,7 @@ class PairEndAligner:
                         handles.append(
                             ("host", c.astype(np.int32), None, None))
                 else:
+                    self.stage["cand_device"] += loc.size
                     handles.append(self.dev.extend_async(
                         enc, loc, plane.astype(np.int32), row)
                         if loc.size else None)
@@ -528,6 +540,18 @@ class PairThreadedRunner:
             p.shutdown()
 
 
+def _pe_stage_report(aligners) -> str:
+    """-V 2 cost anatomy for PE runs (see align.pipeline.stage_report)."""
+    keys = aligners[0].stage.keys()
+    s = {k: sum(a.stage[k] for a in aligners) for k in keys}
+    visit = s["cand_enum"] - s["cand_host"] - s["cand_device"]
+    return (f"cost anatomy: {s['cand_enum']} candidates enumerated "
+            f"| eval: device {s['cand_device']} host {s['cand_host']} "
+            f"visit-time/lazy {max(visit, 0)} "
+            f"| batches: lockstep-lazy {s['batches_lazy']} "
+            f"bulk {s['batches_bulk']} volume-split {s['batches_split']}")
+
+
 def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
                  reads_b_path: str, out_fh=None,
                  command_line: str = "basal_tpu", log=lambda *a: None):
@@ -579,6 +603,7 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
             f"({100.0*e.n_unique_pairs/n:.1f}%), "
             f"non-unique pairs: {e.n_multiple_pairs} "
             f"({100.0*e.n_multiple_pairs/n:.1f}%)")
+        log(_pe_stage_report(runner.aligners), 2)
         return runner.aligners[0]
     while True:
         a = rd_a.next_batch()
@@ -593,4 +618,5 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
     log(f"aligned pairs: {e.n_aligned_pairs} ({100.0*e.n_aligned_pairs/n:.1f}%), "
         f"unique pairs: {e.n_unique_pairs} ({100.0*e.n_unique_pairs/n:.1f}%), "
         f"non-unique pairs: {e.n_multiple_pairs} ({100.0*e.n_multiple_pairs/n:.1f}%)")
+    log(_pe_stage_report([aligner]), 2)
     return aligner

@@ -80,6 +80,14 @@ def init_multihost(coordinator: str, num_processes: int, process_id: int,
                                process_id=process_id)
 
 
+class _RoundResult(object):
+    __slots__ = ("finished", "any_queries")
+
+    def __init__(self, finished: bool, any_queries: bool):
+        self.finished = finished
+        self.any_queries = any_queries
+
+
 def _allgather_ragged(x: np.ndarray) -> List[np.ndarray]:
     """All-gather a variable-length 1-D array from every process (two fixed
     collectives: sizes, then max-padded payload)."""
@@ -231,12 +239,13 @@ class RoutedSeedIndex:
         tp["f_have"] += time.time() - t
         self._locs_n = need
 
-    def _round(self, q: np.ndarray, done: bool) -> bool:
+    def _round(self, q: np.ndarray, done: bool) -> "_RoundResult":
         """One collective routing round.  Every process participates in the
         same sequence of all-gathers (status, queries, reply headers, reply
         payloads); a process whose read window is exhausted keeps serving
         with ``done=True`` and an empty query list until every peer reports
-        done.  Returns True when ALL processes are done."""
+        done.  Returns a _RoundResult (finished = ALL processes done,
+        any_queries = any process carried queries this round)."""
         import time
         from jax.experimental import multihost_utils as mhu
         t0 = time.time()
@@ -260,10 +269,10 @@ class RoutedSeedIndex:
                 self.nproc, 2)
         tp["status"] += time.time() - t
         if int(hdr[:, 0].sum()) == self.nproc:
-            return True
+            return _RoundResult(True, False)
         qsizes = hdr[:, 1]
         if int(qsizes.sum()) == 0:
-            return False
+            return _RoundResult(False, False)
         t = time.time()
         # pow2 bucket padding: the allgather XLA program compiles once per
         # bucket, not once per round
@@ -327,7 +336,7 @@ class RoutedSeedIndex:
                 moff += 3 * nz
                 loff += tot
         tp["parse"] += time.time() - t
-        return False
+        return _RoundResult(False, True)
 
     # -- free-running routing service -----------------------------------
     # A dedicated thread runs collective rounds continuously, so a peer's
@@ -340,19 +349,35 @@ class RoutedSeedIndex:
     # queries anywhere are a single [2]-word heartbeat (see _round_inner).
 
     def _service_loop(self):
-        import threading
         empty = np.zeros(0, np.uint32)
+        # Idle heartbeats are throttled with exponential backoff: an
+        # unthrottled loop spins collective dispatch + poll on one full
+        # core for the whole align phase (measured: t_phase['status'] 4.5s
+        # of a 5.4s align on 2-core workers — half the process's CPU).
+        # All processes run the same backoff, so arrival skew at each
+        # heartbeat stays ~ms and blocked-poll spin is bounded.  A posted
+        # query resets the backoff; worst-case routing latency is one
+        # peer backoff interval (~20 ms) per round, against 1-3 rounds
+        # per 50k-read batch.
+        idle_sleep = 0.0
         while True:
             with self._cv:
                 q = self._pending_q
                 want_done = self._drain_flag and q is None
-            finished = self._round(q if q is not None else empty, want_done)
+            res = self._round(q if q is not None else empty, want_done)
             if q is not None:
                 with self._cv:
                     self._pending_q = None
                     self._cv.notify_all()
-            if finished:
+            if res.finished:
                 return
+            if res.any_queries or q is not None:
+                idle_sleep = 0.0
+            else:
+                idle_sleep = min(0.05, max(0.001, idle_sleep * 2))
+                with self._cv:
+                    if self._pending_q is None and not self._drain_flag:
+                        self._cv.wait(timeout=idle_sleep)
 
     def _start_service(self):
         import threading
@@ -387,6 +412,7 @@ class RoutedSeedIndex:
         self._start_service()
         with self._cv:
             self._pending_q = q[~own]
+            self._cv.notify_all()
             while self._pending_q is not None:
                 self._cv.wait()
 
@@ -399,6 +425,7 @@ class RoutedSeedIndex:
         self._start_service()  # a window with zero batches still serves
         with self._cv:
             self._drain_flag = True
+            self._cv.notify_all()
         self._svc.join()
 
 
