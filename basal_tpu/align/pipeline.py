@@ -86,8 +86,16 @@ class DeviceContext:
         self.nw = ref.ref32.shape[1]
         self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))
         self.mode = _mode_name(params)
-        # opt-in Pallas count core (ungapped); see ops/extend_pallas.py
-        self.use_pallas = bool(os.environ.get("BASAL_TPU_PALLAS"))
+        # Pallas count core (ungapped): default ON for real TPU devices —
+        # measured 1.82x over the XLA kernel at production shapes
+        # (tools/pallasbench.py, v5e: 191 vs 348 ms per 2^20 candidates,
+        # 50-deep queues).  BASAL_TPU_PALLAS=0 forces XLA; on CPU the
+        # kernel would need interpret mode, so XLA stays the default there.
+        pal = os.environ.get("BASAL_TPU_PALLAS", "auto")
+        if pal == "auto":
+            self.use_pallas = jax.devices()[0].platform == "tpu"
+        else:
+            self.use_pallas = pal not in ("", "0")
         # measured dispatch->fetch wall time (adaptive placement input);
         # the first fetch is skipped — it folds in one-time chip claim and
         # jit compile, which would poison the steady-state cost estimate
