@@ -50,10 +50,12 @@ if not fq.exists():
         qual = b"I" * L
         for i in range(N_READS):
             # BID-seq chemistry: a converted T is DELETED from the read
-            # (rule T:-); take a longer window, drop each T with p=0.1,
-            # truncate to L (1-3 deletions/read typically -> -g 3 territory)
+            # (rule T:-); take a longer window, drop each T with p=0.04
+            # (mean ~1 deletion per 100bp read — a higher rate makes most
+            # reads exceed -g 3 and degenerates the run into full
+            # unalignable scans on both sides), truncate to L
             w = g[pos[i]:pos[i] + L + 8]
-            drop = (w == ord("T")) & (rng.random(len(w)) < 0.1)
+            drop = (w == ord("T")) & (rng.random(len(w)) < 0.04)
             r = w[~drop][:L].copy()
             err = rng.random(len(r)) < 0.003
             r[err] = rng.choice(NT, size=len(r))[err]
