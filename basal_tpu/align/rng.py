@@ -36,6 +36,26 @@ def myrand_hash(read_index, randseed: int):
     return (v & U64(0xFFFFFFFF)).astype(np.uint32)
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _myrand_scalar(read_index: int, randseed: int) -> int:
+    """Pure-int twin of myrand_hash for single calls: the numpy scalar
+    path (errstate + asarray per call) measured ~16 us/call and dominated
+    PE unpaired-end emission; this is ~0.5 us with identical bits."""
+    base = ((randseed & 0xFFFFFFFF) * 1000000) & 0xFFFFFFFF
+    v = ((read_index + base) * 3935559000370003845
+         + 2691343689449507681) & _MASK64
+    v ^= v >> 21
+    v = (v ^ (v << 37)) & _MASK64
+    v ^= v >> 4
+    v = (v * 4768777513237032717) & _MASK64
+    v = (v ^ (v << 20)) & _MASK64
+    v ^= v >> 41
+    v = (v ^ (v << 5)) & _MASK64
+    return v & 0xFFFFFFFF
+
+
 class MyRand:
     """Per-aligner RNG façade mirroring myrand's two modes."""
 
@@ -46,4 +66,4 @@ class MyRand:
     def __call__(self, read_index: int) -> int:
         if self.randseed == 0:
             return int(self._rng.integers(0, 1 << 31))
-        return int(myrand_hash(read_index, self.randseed))
+        return _myrand_scalar(int(read_index), self.randseed)

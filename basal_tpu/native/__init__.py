@@ -67,6 +67,7 @@ def get_lib():
     lib.bt_replay_pe.restype = ctypes.c_int64
     lib.bt_encode_batch.restype = ctypes.c_int64
     lib.bt_format_se.restype = ctypes.c_int64
+    lib.bt_format_pe.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
     lib.bt_eval_candidates_gap.restype = ctypes.c_int64
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
@@ -674,6 +675,136 @@ class NativeFormatter:
                 ctypes.c_int32(1 if p.out_ref else 0),
                 _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
                 _p(self.counters, ctypes.c_int64))
+            if n >= 0:
+                return out[:n].tobytes().decode("latin1")
+            cap = -n + 1024
+
+
+def _read_slices(enc):
+    """(name/seq/qual buffer + offsets/lengths, read indices, readsets,
+    total_seq) for a batch — zero-copy for RawBatch, one join per plane
+    for ReadRec lists (still ~100x cheaper than per-record Python
+    formatting)."""
+    from ..reads.io import RawBatch
+    B = len(enc.reads)
+    if isinstance(enc.reads, RawBatch):
+        rb = enc.reads
+        return (rb.buf, rb.name_off, rb.name_len,
+                rb.buf, rb.seq_off, rb.seq_len,
+                rb.buf, rb.qual_off, rb.qual_len,
+                rb.indices, np.full(B, rb.readset, np.int32),
+                int(rb.seq_len.sum()))
+    names = "".join(r.name for r in enc.reads)
+    seqs = "".join(r.seq for r in enc.reads)
+    quals = "".join(r.qual for r in enc.reads)
+    name_len = np.array([len(r.name) for r in enc.reads], np.int32)
+    seq_len = np.array([len(r.seq) for r in enc.reads], np.int32)
+    qual_len = np.array([len(r.qual) for r in enc.reads], np.int32)
+    name_off = np.zeros(B, np.int64)
+    np.cumsum(name_len[:-1], out=name_off[1:])
+    seq_off = np.zeros(B, np.int64)
+    np.cumsum(seq_len[:-1], out=seq_off[1:])
+    qual_off = np.zeros(B, np.int64)
+    np.cumsum(qual_len[:-1], out=qual_off[1:])
+    nb = np.frombuffer(names.encode("latin1"), np.uint8)
+    sb = np.frombuffer(seqs.encode("latin1"), np.uint8)
+    qb = np.frombuffer(quals.encode("latin1"), np.uint8)
+    ridx = np.array([r.index for r in enc.reads], np.uint32)
+    rset = np.array([r.readset for r in enc.reads], np.int32)
+    return (nb, name_off, name_len, sb, seq_off, seq_len,
+            qb, qual_off, qual_len, ridx, rset, len(seqs))
+
+
+class NativePairFormatter:
+    """C++ PE SAM formatting (bt_format_pe) — the exact twin of
+    PairEmitter (pairs/pipeline.py).  Returns None when the batch needs
+    the Python path (FixPairReadName mismatch raises there with the exact
+    reference message)."""
+
+    def __init__(self, params, ref):
+        self.p = params
+        self.ref = ref
+        names = [t.name for t in ref.titles]
+        self.title_buf = np.frombuffer("".join(names).encode("latin1"),
+                                       np.uint8).copy()
+        self.title_off = np.zeros(len(names) + 1, np.int64)
+        np.cumsum([len(n) for n in names], out=self.title_off[1:])
+        self.anchors = ref.ref_anchor.astype(np.int64)
+        self.useful = np.frombuffer(
+            params.rule.useful_nt.encode("latin1"), np.uint8).copy()
+        from ..config import REV_CHAR
+        self.rev_tab = REV_CHAR.copy()
+        # [0..2] aligned/unique/multiple pairs; [3..8] per-end a/b
+        self.counters = np.zeros(9, np.int64)
+
+    def format(self, enc_a, enc_b, paired, pdata, poff, ends):
+        lib = get_lib()
+        p = self.p
+        B = len(enc_a.reads)
+        args = [ctypes.c_int32(B)]
+        total_seq = 0
+        for enc, e in ((enc_a, ends[0]), (enc_b, ends[1])):
+            (nb, noff, nlen, sb, soff, slen, qb, qoff, qlen,
+             ridx, rset, tseq) = _read_slices(enc)
+            total_seq += tseq
+            args += [
+                _p(nb, ctypes.c_uint8),
+                _p(np.ascontiguousarray(noff, np.int64), ctypes.c_int64),
+                _p(np.ascontiguousarray(nlen, np.int32), ctypes.c_int32),
+                _p(sb, ctypes.c_uint8),
+                _p(np.ascontiguousarray(soff, np.int64), ctypes.c_int64),
+                _p(np.ascontiguousarray(slen, np.int32), ctypes.c_int32),
+                _p(qb, ctypes.c_uint8),
+                _p(np.ascontiguousarray(qoff, np.int64), ctypes.c_int64),
+                _p(np.ascontiguousarray(qlen, np.int32), ctypes.c_int32),
+                _p(enc.map_len, ctypes.c_int32),
+                _p(np.ascontiguousarray(ridx, np.uint32), ctypes.c_uint32),
+                _p(np.ascontiguousarray(rset, np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(enc.filtered, np.uint8),
+                   ctypes.c_uint8),
+                _p(np.ascontiguousarray(enc.read_max_snp, np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["stat"], np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["n0"], np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(e["n1"], np.int32), ctypes.c_int32),
+                _p(np.ascontiguousarray(e["hchr"], np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["hloc"], np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["hgsz"], np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["hgpos"], np.int32),
+                   ctypes.c_int32),
+                _p(np.ascontiguousarray(e["hoff"], np.int64),
+                   ctypes.c_int64),
+            ]
+        pdata = np.ascontiguousarray(pdata.reshape(-1), np.int32)
+        args += [
+            _p(np.ascontiguousarray(paired, np.int32), ctypes.c_int32),
+            _p(pdata, ctypes.c_int32),
+            _p(np.ascontiguousarray(poff, np.int64), ctypes.c_int64),
+            _p(self.title_buf, ctypes.c_uint8),
+            _p(self.title_off, ctypes.c_int64),
+            ctypes.c_int32(len(self.ref.titles)),
+            self.ref.ref32[0].ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint32)),
+            _p(self.anchors, ctypes.c_int64),
+            _p(self.useful, ctypes.c_uint8),
+            _p(self.rev_tab, ctypes.c_uint8),
+            ctypes.c_uint32(p.randseed),
+            ctypes.c_int32(p.report_repeat_hits),
+            ctypes.c_int32(1 if p.out_unmap else 0),
+            ctypes.c_int32(1 if p.out_ref else 0),
+        ]
+        cap = max(total_seq * 5 + B * 256, 1 << 20)
+        while True:
+            out = np.empty(cap, np.uint8)
+            n = lib.bt_format_pe(*(args + [
+                _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
+                _p(self.counters, ctypes.c_int64)]))
+            if n == -2:
+                return None  # name mismatch: Python path raises exactly
             if n >= 0:
                 return out[:n].tobytes().decode("latin1")
             cap = -n + 1024

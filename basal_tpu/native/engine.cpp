@@ -1438,9 +1438,335 @@ extern "C" i64 bt_format_se(
             out_unmapped(0x4);
         }
     }
+    if (w > cap) return -w;  // caller retries: don't double-count
     counters[0] += aligned; counters[1] += unique; counters[2] += multiple;
-    return w <= cap ? w : -w;
+    return w;
 }
+
+// --------------------------------------------------------------------------
+// Paired-end SAM formatting (StringAlignPair / StringAlignUnpair /
+// s_OutHitPair / s_OutHitUnpair / FixPairReadName, pairs.cpp:204-507).
+// Exact C++ twin of PairEmitter (pairs/pipeline.py:44-221): consumes the
+// flat pair/hit arrays bt_replay_pe produced and writes the SAM body in
+// one pass.  counters[0..2]: aligned/unique/multiple pairs;
+// counters[3..8]: per-end a/b aligned/unique/multiple.
+// Returns bytes written; -bytes when cap was too small (caller re-sizes
+// and retries); -2 on a FixPairReadName mismatch (caller raises).
+
+struct PeEnd {
+    const u8 *names, *seqs, *quals;
+    const i64 *name_off, *seq_off, *qual_off;
+    const i32 *name_len, *seq_len, *qual_len;
+    const i32 *map_len; const u32* ridx; const i32* rset;
+    const u8* filtered; const i32* rms;
+    const i32 *stat, *n0, *n1;
+    const i32 *hchr, *hloc, *hgsz, *hgpos;
+    const i64* hoff;
+};
+
+extern "C" i64 bt_format_pe(
+    i32 B,
+    // end a (read1 slices + replay outputs), then end b
+    const u8* names_a, const i64* nameoff_a, const i32* namelen_a,
+    const u8* seqs_a, const i64* seqoff_a, const i32* seqlen_a,
+    const u8* quals_a, const i64* qualoff_a, const i32* quallen_a,
+    const i32* maplen_a, const u32* ridx_a, const i32* rset_a,
+    const u8* filt_a, const i32* rms_a,
+    const i32* stat_a, const i32* n0_a, const i32* n1_a,
+    const i32* hchr_a, const i32* hloc_a, const i32* hgsz_a,
+    const i32* hgpos_a, const i64* hoff_a,
+    const u8* names_b, const i64* nameoff_b, const i32* namelen_b,
+    const u8* seqs_b, const i64* seqoff_b, const i32* seqlen_b,
+    const u8* quals_b, const i64* qualoff_b, const i32* quallen_b,
+    const i32* maplen_b, const u32* ridx_b, const i32* rset_b,
+    const u8* filt_b, const i32* rms_b,
+    const i32* stat_b, const i32* n0_b, const i32* n1_b,
+    const i32* hchr_b, const i32* hloc_b, const i32* hgsz_b,
+    const i32* hgpos_b, const i64* hoff_b,
+    // pair results (bt_replay_pe layout: 12 i32 per record)
+    const i32* paired, const i32* pair_data, const i64* pair_off,
+    // reference / params
+    const u8* title_names, const i64* title_off, i32 n_titles,
+    const u32* ref32_fwd, const i64* anchors,
+    const u8* useful_nt, const u8* rev_char_tab,
+    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    u8* out, i64 cap, i64* counters)
+{
+    (void)n_titles;
+    PeEnd E[2] = {
+        {names_a, seqs_a, quals_a, nameoff_a, seqoff_a, qualoff_a,
+         namelen_a, seqlen_a, quallen_a, maplen_a, ridx_a, rset_a,
+         filt_a, rms_a, stat_a, n0_a, n1_a, hchr_a, hloc_a, hgsz_a,
+         hgpos_a, hoff_a},
+        {names_b, seqs_b, quals_b, nameoff_b, seqoff_b, qualoff_b,
+         namelen_b, seqlen_b, quallen_b, maplen_b, ridx_b, rset_b,
+         filt_b, rms_b, stat_b, n0_b, n1_b, hchr_b, hloc_b, hgsz_b,
+         hgpos_b, hoff_b},
+    };
+    i64 w = 0;
+    i64 al_p = 0, un_p = 0, mu_p = 0;
+    i64 endc[6] = {0, 0, 0, 0, 0, 0};  // a: aligned/unique/multiple, b: ...
+    auto put = [&](const char* s, i64 n) {
+        if (w + n <= cap) memcpy(out + w, s, n);
+        w += n;
+    };
+    auto put_str = [&](const u8* s, i64 n) { put((const char*)s, n); };
+    char tmp[64];
+    auto put_int = [&](i64 v) {
+        int n = snprintf(tmp, 64, "%lld", (long long)v); put(tmp, n);
+    };
+    auto put_ch = [&](char c) { if (w < cap) out[w] = c; ++w; };
+    auto put_cigar = [&](i32 L, i32 gsz, i32 gpos) {
+        if (gsz == 0) { put_int(L); put_ch('M'); }
+        else if (gsz > 0) {
+            put_int(gpos); put_ch('M'); put_int(gsz); put_ch('D');
+            put_int(L - gpos); put_ch('M');
+        } else {
+            put_int(gpos); put_ch('M'); put_int(-gsz); put_ch('I');
+            put_int(L - gpos + gsz); put_ch('M');
+        }
+    };
+    auto put_title = [&](i32 chr_) {
+        put_str(title_names + title_off[chr_ >> 1],
+                title_off[(chr_ >> 1) + 1] - title_off[chr_ >> 1]);
+    };
+    auto put_seqqual = [&](const PeEnd& e, i32 r, int rev) {
+        const u8* seq = e.seqs + e.seq_off[r];
+        const u8* qual = e.quals + e.qual_off[r];
+        i64 sn = e.seq_len[r], qn = e.qual_len[r];
+        if (rev) {
+            for (i64 i = sn - 1; i >= 0; --i)
+                put_ch((char)rev_char_tab[seq[i]]);
+            put_ch('\t');
+            for (i64 i = qn - 1; i >= 0; --i) put_ch((char)qual[i]);
+        } else {
+            put_str(seq, sn); put_ch('\t'); put_str(qual, qn);
+        }
+    };
+    auto put_xr = [&](i32 chr_, i32 loc, i32 L) {
+        put("\tXR:Z:", 6);
+        i64 base0 = anchors[chr_ >> 1];
+        for (int ii = 2; ii > 0; --ii) {
+            if (loc < ii) continue;
+            i64 pp = base0 + loc - ii;
+            u32 code = (ref32_fwd[pp >> 4] >> (30 - (pp & 15) * 2)) & 3;
+            put_ch((char)useful_nt[code + 4]);
+        }
+        for (i64 ii = 0; ii < (i64)L + 2; ++ii) {
+            i64 pp = base0 + loc + ii;
+            u32 code = (ref32_fwd[pp >> 4] >> (30 - (pp & 15) * 2)) & 3;
+            char c = (char)useful_nt[code];
+            if (ii >= L) c = (char)(c + 32);
+            put_ch(c);
+        }
+    };
+    auto put_zs = [&](i32 chr_, i32 chain) {
+        put("\tZS:Z:", 6);
+        put_ch((chr_ & 1) ? '-' : '+');
+        put_ch(chain ? '-' : '+');
+        put_ch('\n');
+    };
+
+    for (i32 r = 0; r < B; ++r) {
+        // FixPairReadName (pairs.cpp:487-507): common prefix up to the
+        // last digit; identical names pass through whole
+        const u8* na = E[0].names + E[0].name_off[r];
+        const u8* nb = E[1].names + E[1].name_off[r];
+        i64 la = E[0].name_len[r], lb = E[1].name_len[r];
+        i64 fixed = -1;  // -1 = names equal, else cut length for both
+        if (la != lb || memcmp(na, nb, la) != 0) {
+            i64 i0 = la < lb ? la : lb, d = -1, i = 0;
+            for (; i < i0; ++i) {
+                if (na[i] != nb[i]) break;
+                if (na[i] >= '0' && na[i] <= '9') d = i;
+            }
+            if (i == 0) return -2;
+            if (d < 0) d = i - 1;
+            fixed = d + 1;
+        }
+        i64 name_n[2] = {fixed < 0 ? la : fixed, fixed < 0 ? lb : fixed};
+        const u8* name_p[2] = {na, nb};
+        i32 L2[2] = {E[0].map_len[r], E[1].map_len[r]};
+
+        // s_OutHitPair: one proper-pair record per end
+        auto out_hit_pair = [&](const i32* d, i32 n) {
+            i32 chain = d[0];
+            for (int end = 0; end < 2; ++end) {
+                const i32* h = end == 0 ? d + 4 : d + 8;
+                const i32* mate_h = end == 0 ? d + 8 : d + 4;
+                i32 nm = end == 0 ? d[1] : d[2];
+                i32 ch = end == 0 ? chain : 1 - chain;
+                i32 insert = d[3];
+                int rev = ch ^ (h[0] & 1);
+                i32 flag = 0x3;
+                if (n > 1) flag |= 0x100;
+                i64 pp_insert = insert;
+                if (rev) { flag |= 0x10; pp_insert = -pp_insert; }
+                else flag |= 0x20;
+                flag |= 0x40 * E[end].rset[r];
+                put_str(name_p[end], name_n[end]); put_ch('\t');
+                put_int(flag); put_ch('\t');
+                put_title(h[0]); put_ch('\t');
+                put_int((i64)h[1] + 1); put("\t255\t", 5);
+                put_cigar(L2[end], h[2], h[3]);
+                put("\t=\t", 3); put_int((i64)mate_h[1] + 1); put_ch('\t');
+                put_int(pp_insert); put_ch('\t');
+                put_seqqual(E[end], r, rev);
+                put("\tNM:i:", 6); put_int(nm);
+                if (out_ref) put_xr(h[0], h[1], L2[end]);
+                put_zs(h[0], ch);
+            }
+        };
+
+        // s_OutHitUnpair: one end's record with mate fields from the
+        // other end's pick (h may be null when this end is unmapped)
+        auto out_hit_unpair = [&](int end, i32 chain_a, i32 chain_b,
+                                  i32 ma, i32 na_, const i32* h,
+                                  i32 mb, const i32* hb, i64 hb_idx) {
+            const PeEnd& e = E[end];
+            i32 flag = 1 | 0x40 * e.rset[r];
+            if (ma <= 0) {
+                if (!out_unmap) return;
+                if (ma < 0) flag |= 0x204;
+                if (ma == 0) flag |= 0x004;
+                if (mb <= 0) {
+                    flag |= 0x008;
+                    put_str(name_p[end], name_n[end]); put_ch('\t');
+                    put_int(flag);
+                    put("\t*\t0\t0\t*\t*\t0\t0\t", 15);
+                    put_str(e.seqs + e.seq_off[r], e.seq_len[r]);
+                    put_ch('\t');
+                    put_str(e.quals + e.qual_off[r], e.qual_len[r]);
+                    put_ch('\n');
+                } else {
+                    i32 bchr = hb[0], bloc = hb[1];
+                    (void)hb_idx;
+                    if (chain_b ^ (bchr & 1)) flag |= 0x020;
+                    put_str(name_p[end], name_n[end]); put_ch('\t');
+                    put_int(flag);
+                    put("\t*\t0\t0\t*\t", 9);
+                    put_title(bchr); put_ch('\t');
+                    put_int((i64)bloc + 1); put("\t0\t", 3);
+                    put_str(e.seqs + e.seq_off[r], e.seq_len[r]);
+                    put_ch('\t');
+                    put_str(e.quals + e.qual_off[r], e.qual_len[r]);
+                    put_ch('\n');
+                }
+                return;
+            }
+            int rev_seq = chain_a ^ (h[0] & 1);
+            if (ma > 1) flag |= 0x100;
+            if (rev_seq) flag |= 0x010;
+            if (mb <= 0) flag |= 0x008;
+            else if (chain_b ^ (hb[0] & 1)) flag |= 0x020;
+            put_str(name_p[end], name_n[end]); put_ch('\t');
+            put_int(flag); put_ch('\t');
+            put_title(h[0]); put_ch('\t');
+            put_int((i64)h[1] + 1); put("\t255\t", 5);
+            put_cigar(L2[end], h[2], h[3]);
+            if (mb <= 0) put("\t*\t0\t0\t", 7);
+            else {
+                put_ch('\t'); put_title(hb[0]); put_ch('\t');
+                put_int((i64)hb[1] + 1); put("\t0\t", 3);
+            }
+            put_seqqual(E[end], r, rev_seq);
+            put("\tNM:i:", 6); put_int(na_);
+            if (out_ref) put_xr(h[0], h[1], L2[end]);
+            put_zs(h[0], chain_a);
+        };
+
+        // StringAlignPair (pairs.cpp:204-230)
+        i32 pair_reported = 0;
+        if (paired[r]) {
+            i64 a0 = pair_off[r], b0 = pair_off[r + 1];
+            i32 cnt = (i32)(b0 - a0);
+            if (cnt == 1) {
+                ++un_p; ++al_p;
+                out_hit_pair(pair_data + a0 * 12, 1);
+                pair_reported = 1;
+            } else if (cnt > 1) {
+                ++mu_p;
+                if (report_repeat_hits == 1) {
+                    ++al_p;
+                    u32 j = myrand_hash(E[0].ridx[r], randseed) % (u32)cnt;
+                    out_hit_pair(pair_data + (a0 + j) * 12, cnt);
+                    pair_reported = 1;
+                } else if (report_repeat_hits == 2) {
+                    ++al_p;
+                    for (i64 j = a0; j < b0; ++j)
+                        out_hit_pair(pair_data + j * 12, cnt);
+                    pair_reported = 1;
+                }
+            }
+        }
+        if (pair_reported && paired[r]) continue;
+
+        // StringAlignUnpair (pairs.cpp:232-305): per-end picks first
+        i32 pm[2], pn[2], pc[2];
+        i32 ph[2][4];
+        const i32* php[2] = {nullptr, nullptr};
+        for (int end = 0; end < 2; ++end) {
+            const PeEnd& e = E[end];
+            if (e.filtered[r]) { pm[end] = -1; pn[end] = 0; pc[end] = 0;
+                                 continue; }
+            i64 a = e.hoff[r], b = e.hoff[r + 1];
+            i32 m = (i32)(b - a);
+            if (m > 0 && e.stat[r] >= 0) {
+                u32 rr = myrand_hash(e.ridx[r], randseed) % (u32)m;
+                i32 k0 = e.n0[r];
+                pc[end] = rr < (u32)k0 ? 0 : 1;
+                i64 hi = a + rr;
+                ph[end][0] = e.hchr[hi]; ph[end][1] = e.hloc[hi];
+                ph[end][2] = e.hgsz[hi]; ph[end][3] = e.hgpos[hi];
+                php[end] = ph[end];
+                pm[end] = m;
+                pn[end] = e.stat[r] % (e.rms[r] + 1);
+            } else {
+                pm[end] = 0; pn[end] = 0; pc[end] = 0;
+            }
+        }
+        i32 ma1 = (pm[0] > 1 && report_repeat_hits == 0) ? 0 : pm[0];
+        i32 mb1 = (pm[1] > 1 && report_repeat_hits == 0) ? 0 : pm[1];
+        for (int end = 0; end < 2; ++end) {
+            const PeEnd& e = E[end];
+            i32 m = pm[end], n_ = pn[end], c = pc[end];
+            const i32* h = php[end];
+            i32 om1 = end == 0 ? mb1 : ma1;
+            const i32* oh = php[1 - end];
+            i32 oc = pc[1 - end];
+            if (m <= 0) {
+                if (out_unmap)
+                    out_hit_unpair(end, 0, oc, m, 0, h, om1, oh, 0);
+            } else if (m == 1) {
+                ++endc[end * 3 + 0]; ++endc[end * 3 + 1];
+                out_hit_unpair(end, c, oc, 1, n_, h, om1, oh, 0);
+            } else {
+                ++endc[end * 3 + 2];
+                if (report_repeat_hits == 1) {
+                    ++endc[end * 3 + 0];
+                    out_hit_unpair(end, c, oc, m, n_, h, om1, oh, 0);
+                } else if (report_repeat_hits == 2) {
+                    ++endc[end * 3 + 0];
+                    i64 a = e.hoff[r], b = e.hoff[r + 1];
+                    i32 k0 = e.n0[r];
+                    for (i64 j = a; j < b; ++j) {
+                        i32 hh[4] = {e.hchr[j], e.hloc[j], e.hgsz[j],
+                                     e.hgpos[j]};
+                        out_hit_unpair(end, j - a < k0 ? 0 : 1, oc, m, n_,
+                                       hh, om1, oh, 0);
+                    }
+                } else if (out_unmap) {
+                    out_hit_unpair(end, 0, oc, 0, 0, h, om1, oh, 0);
+                }
+            }
+        }
+    }
+    if (w > cap) return -w;  // caller retries: don't double-count
+    counters[0] += al_p; counters[1] += un_p; counters[2] += mu_p;
+    for (int k = 0; k < 6; ++k) counters[3 + k] += endc[k];
+    return w;
+}
+
 // --------------------------------------------------------------------------
 // Host-side candidate evaluation (adaptive fallback).
 //

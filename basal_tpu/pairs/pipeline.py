@@ -244,11 +244,27 @@ class PairEndAligner:
                           and not params.rrbs_flag)
         self.native_a = NativeBatch(params, index, ref) if use_native else None
         self.native_b = NativeBatch(params, index, ref) if use_native else None
+        self.pe_formatter = None
+        if self.native_a is not None and not params.rrbs_flag:
+            from ..native import NativePairFormatter
+            self.pe_formatter = NativePairFormatter(params, ref)
         # per-stage cost anatomy (printed at -V 2; SE twin in
         # align/pipeline.py keeps the richer ladder counters)
         self.stage = {"cand_enum": 0, "cand_host": 0, "cand_device": 0,
                       "batches_lazy": 0, "batches_bulk": 0,
                       "batches_split": 0}
+
+    def pair_stats(self):
+        """(aligned, unique, multiple) pairs merged across the Python
+        emitter and the native PE formatter."""
+        e = self.emitter
+        a, u, m = e.n_aligned_pairs, e.n_unique_pairs, e.n_multiple_pairs
+        if self.pe_formatter is not None:
+            c = self.pe_formatter.counters
+            a += int(c[0])
+            u += int(c[1])
+            m += int(c[2])
+        return a, u, m
 
     @property
     def dev(self):
@@ -269,46 +285,52 @@ class PairEndAligner:
         p = self.p
         # candidate-volume guard: repeat-heavy references can enumerate 10^4+
         # candidates per read; split the pair batch so the eager PE tables
-        # stay bounded (the SE path uses lazy strata-ladder waves instead)
+        # stay bounded (the SE path uses lazy strata-ladder waves instead).
+        # End a is encoded + group-built ONCE here and reused by the inner
+        # pass (the old probe re-encoded the batch on copies — ~15% of an
+        # easy-profile PE batch); splitting restores the scheduler state
+        # and the pre-trim seq/qual references, then re-encodes per slice.
         if len(reads_a) > 512 and self.native_a is not None:
-            from ..reads.io import ReadRec
             ridx = np.array([r.index for r in reads_a], dtype=np.uint32)
-            # probe on COPIES (encode mutates seq/qual) with scheduler state
-            # snapshotted (build_groups advances xseed_start_offset)
-            probe_reads = [ReadRec(r.index, r.readset, r.name, r.seq, r.qual)
-                           for r in reads_a]
+            orig = [(r.seq, r.qual) for r in reads_a]  # strings: refs only
             state0 = self.native_a.state.copy()
-            enc_probe = encode_batch(p, probe_reads)
+            enc_a = encode_batch(p, reads_a)
             ens = getattr(self.index, "ensure_batch", None)
             if ens is not None:
-                ens(enc_probe)
-            _, _, total = self.native_a.build_groups(enc_probe, ridx)
+                ens(enc_a)
+            groups, goff, total = self.native_a.build_groups(enc_a, ridx)
+            if (total and host_eval_policy(p, total)) \
+                    or total <= self.MAX_BATCH_CANDS:
+                # lazy visit-time scans bound evaluated volume themselves;
+                # eager tables fit: proceed with the already-built end a
+                return self._align_batch_inner(
+                    reads_a, reads_b, pre_a=(enc_a, groups, goff, total))
+            self.stage["batches_split"] += 1
             self.native_a.state[:] = state0
-            if total and host_eval_policy(p, total):
-                # the lazy visit-time scan bounds evaluated volume itself;
-                # no need to split the batch for eager-table memory
-                pass
-            elif total > self.MAX_BATCH_CANDS:
-                self.stage["batches_split"] += 1
-                n_split = -(-int(total) // self.MAX_BATCH_CANDS)
-                step = max(256, len(reads_a) // n_split)
-                out = []
-                for i in range(0, len(reads_a), step):
-                    out.append(self._align_batch_inner(
-                        reads_a[i:i + step], reads_b[i:i + step]))
-                return "".join(out)
+            for r, (s, q) in zip(reads_a, orig):
+                r.seq, r.qual = s, q
+            n_split = -(-int(total) // self.MAX_BATCH_CANDS)
+            step = max(256, len(reads_a) // n_split)
+            out = []
+            for i in range(0, len(reads_a), step):
+                out.append(self._align_batch_inner(
+                    reads_a[i:i + step], reads_b[i:i + step]))
+            return "".join(out)
         return self._align_batch_inner(reads_a, reads_b)
 
-    def _align_batch_inner(self, reads_a, reads_b) -> str:
+    def _align_batch_inner(self, reads_a, reads_b, pre_a=None) -> str:
         p = self.p
-        enc_a = encode_batch(p, reads_a)
+        enc_a = pre_a[0] if pre_a is not None else encode_batch(p, reads_a)
         enc_b = encode_batch(p, reads_b)
         ens = getattr(self.index, "ensure_batch", None)
         if ens is not None:  # shard-resident index: routed fetch per mate
-            ens(enc_a)
+            if pre_a is None:
+                ens(enc_a)
             ens(enc_b)
         if self.native_a is not None:
-            return self._align_batch_native(enc_a, enc_b)
+            return self._align_batch_native(
+                enc_a, enc_b,
+                built_a=None if pre_a is None else pre_a[1:])
         res = []
         for enc, sched in ((enc_a, self.sched_a), (enc_b, self.sched_b)):
             if p.rrbs_flag:
@@ -399,7 +421,7 @@ class PairEndAligner:
             n_threads=self.nt_hint)
         return [(np.ones(B, bool), out1)]
 
-    def _align_batch_native(self, enc_a, enc_b) -> str:
+    def _align_batch_native(self, enc_a, enc_b, built_a=None) -> str:
         from ..align.replay import ReadResult
         from ..native import replay_pe
         p = self.p
@@ -407,8 +429,12 @@ class PairEndAligner:
         built = []
         total_all = 0
         for enc, nat in ((enc_a, self.native_a), (enc_b, self.native_b)):
-            ridx = np.array([r.index for r in enc.reads], dtype=np.uint32)
-            groups, goff, total = nat.build_groups(enc, ridx)
+            if enc is enc_a and built_a is not None:
+                groups, goff, total = built_a
+            else:
+                ridx = np.array([r.index for r in enc.reads],
+                                dtype=np.uint32)
+                groups, goff, total = nat.build_groups(enc, ridx)
             built.append((enc, nat, groups, goff))
             total_all += int(total)
 
@@ -456,6 +482,16 @@ class PairEndAligner:
                              enc_b, cand[1], fetched[1],
                              n_threads=self.nt_hint)
             waves = [(np.ones(B, bool), out1)]
+
+        if (self.pe_formatter is not None and len(waves) == 1
+                and bool(waves[0][0].all())):
+            paired, _pcnt, pdata, poff, ends = waves[0][1]
+            s = self.pe_formatter.format(enc_a, enc_b, paired, pdata, poff,
+                                         ends)
+            if s is not None:
+                return s
+            # None = FixPairReadName mismatch: the Python path below
+            # raises with the exact reference message
 
         wave_of = np.zeros(B, np.int32)
         for wi, (newly, _) in enumerate(waves):
@@ -530,10 +566,8 @@ class PairThreadedRunner:
                                        reads_a, reads_b)
 
     def counters(self):
-        es = [a.emitter for a in self.aligners]
-        return (sum(e.n_aligned_pairs for e in es),
-                sum(e.n_unique_pairs for e in es),
-                sum(e.n_multiple_pairs for e in es))
+        stats = [a.pair_stats() for a in self.aligners]
+        return tuple(sum(s[k] for s in stats) for k in range(3))
 
     def shutdown(self):
         for p in self.pools:
@@ -612,7 +646,11 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
             break
         out_fh.write(aligner.align_batch(a, b))
         log(f"{rd_a.index - params.read_start + 1} read pairs finished.")
-    e = aligner.emitter
+    n_al, n_un, n_mu = aligner.pair_stats()
+
+    class _E2:
+        n_aligned_pairs, n_unique_pairs, n_multiple_pairs = n_al, n_un, n_mu
+    e = _E2
     n = max(rd_a.index - params.read_start + 1, 1)
     log(f"total read pairs: {n} \ttotal time: {time.time()-t0:.0f} secs")
     log(f"aligned pairs: {e.n_aligned_pairs} ({100.0*e.n_aligned_pairs/n:.1f}%), "
