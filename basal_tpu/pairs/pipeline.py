@@ -291,8 +291,13 @@ class PairEndAligner:
         # easy-profile PE batch); splitting restores the scheduler state
         # and the pre-trim seq/qual references, then re-encodes per slice.
         if len(reads_a) > 512 and self.native_a is not None:
-            ridx = np.array([r.index for r in reads_a], dtype=np.uint32)
-            orig = [(r.seq, r.qual) for r in reads_a]  # strings: refs only
+            from ..reads.io import RawBatch
+            raw = isinstance(reads_a, RawBatch)
+            ridx = (reads_a.indices if raw else
+                    np.array([r.index for r in reads_a], dtype=np.uint32))
+            # strings are immutable: keeping references restores the
+            # pre-trim state exactly; RawBatch buffers are never mutated
+            orig = None if raw else [(r.seq, r.qual) for r in reads_a]
             state0 = self.native_a.state.copy()
             enc_a = encode_batch(p, reads_a)
             ens = getattr(self.index, "ensure_batch", None)
@@ -307,8 +312,9 @@ class PairEndAligner:
                     reads_a, reads_b, pre_a=(enc_a, groups, goff, total))
             self.stage["batches_split"] += 1
             self.native_a.state[:] = state0
-            for r, (s, q) in zip(reads_a, orig):
-                r.seq, r.qual = s, q
+            if orig is not None:
+                for r, (s, q) in zip(reads_a, orig):
+                    r.seq, r.qual = s, q
             n_split = -(-int(total) // self.MAX_BATCH_CANDS)
             step = max(256, len(reads_a) // n_split)
             out = []
@@ -432,8 +438,11 @@ class PairEndAligner:
             if enc is enc_a and built_a is not None:
                 groups, goff, total = built_a
             else:
-                ridx = np.array([r.index for r in enc.reads],
-                                dtype=np.uint32)
+                from ..reads.io import RawBatch
+                ridx = (enc.reads.indices
+                        if isinstance(enc.reads, RawBatch)
+                        else np.array([r.index for r in enc.reads],
+                                      dtype=np.uint32))
                 groups, goff, total = nat.build_groups(enc, ridx)
             built.append((enc, nat, groups, goff))
             total_all += int(total)

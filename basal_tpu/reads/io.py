@@ -75,6 +75,14 @@ class RawBatch:
             qual=self._slice(self.qual_off[i], self.qual_len[i]))
 
     def __getitem__(self, i):
+        if isinstance(i, slice):
+            a, b, step = i.indices(len(self))
+            assert step == 1
+            return RawBatch(self.buf,
+                            self.name_off[a:b], self.name_len[a:b],
+                            self.seq_off[a:b], self.seq_len[a:b],
+                            self.qual_off[a:b], self.qual_len[a:b],
+                            self.index0 + a, self.readset)
         return self.rec(i)
 
     def __iter__(self):
@@ -472,8 +480,7 @@ class SamReader:
 def open_reads(path: str, params: AlignParams, readset: int = 0):
     import os
     fmt = sniff_format(path)
-    if fmt == "fastq" and readset == 0 \
-            and not os.environ.get("BASAL_TPU_NO_RAW"):
+    if fmt == "fastq" and not os.environ.get("BASAL_TPU_NO_RAW"):
         from ..native import native_available
         if native_available():
             return RawFastqReader(path, params, readset)
