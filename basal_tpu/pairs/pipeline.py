@@ -597,16 +597,25 @@ def _pe_stage_report(aligners) -> str:
 
 def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
                  reads_b_path: str, out_fh=None,
-                 command_line: str = "basal_tpu", log=lambda *a: None):
+                 command_line: str = "basal_tpu", log=lambda *a: None,
+                 index_factory=None, timings=None):
     t0 = time.time()
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp.")
-    if params.rrbs_flag:
+    if timings is not None:
+        timings["t_ref"] = time.time() - t0
+    if index_factory is not None:
+        # multi-host: shard-resident RoutedSeedIndex (parallel/multihost.py)
+        index = index_factory(ref, params)
+    elif params.rrbs_flag:
         from ..index.rrbs import build_rrbs_index
         index = build_rrbs_index(ref_path, ref, params)
     else:
         index = build_index(ref, params)
     log(f"create seed table. {time.time()-t0:.0f} secs passed")
+    if timings is not None:
+        timings["t_index"] = time.time() - t0 - timings["t_ref"]
+        timings["t_align_start"] = time.time()
     aligner = PairEndAligner(params, ref, index)
     out_fh = out_fh or sys.stdout
     if params.sam_header:

@@ -125,6 +125,55 @@ def test_two_process_routed_equals_single(tmp_path, rng):
     assert st0["mesh"]["candidates"] > 1000
 
 
+def test_two_process_pair_end_equals_single(tmp_path, rng):
+    """PE across 2 processes: both mates' per-batch lookups ride the routed
+    index (two ensure_batch rounds per batch); merged SAM == single-process
+    PE SAM byte-for-byte."""
+    n_pairs = 1501
+    genome = random_genome(rng, 200_000)
+    make_ref(tmp_path / "ref.fa", [("chr1", genome)])
+    comp = str.maketrans("ACGT", "TGCA")
+    ra, rb = [], []
+    for i in range(n_pairs):
+        pos = rng.randrange(0, len(genome) - 400)
+        ins = rng.randrange(150, 380)
+        a = list(genome[pos:pos + 100])
+        b = list(genome[pos + ins - 100:pos + ins].translate(comp)[::-1])
+        for s in (a, b):
+            for j, c in enumerate(s):
+                if c == "A" and rng.random() < 0.5:
+                    s[j] = "G"
+        ra.append((f"p{i}/1", "".join(a)))
+        rb.append((f"p{i}/2", "".join(b)))
+    make_fastq(tmp_path / "reads_1.fq", ra)
+    make_fastq(tmp_path / "reads_2.fq", rb)
+
+    params_kw = dict(conversion="A:G", randseed=5, batch_reads=751,
+                     out_unmap=True, verbose_level=0, pairend=True)
+    cfg = {"params": params_kw, "ref": str(tmp_path / "ref.fa"),
+           "reads": str(tmp_path / "reads_1.fq"),
+           "reads_b": str(tmp_path / "reads_2.fq"), "n_reads": n_pairs,
+           "mesh_check": False, "local_devices": 2}
+    (tmp_path / "mh_cfg.json").write_text(json.dumps(cfg))
+
+    _spawn(2, _free_port(), tmp_path)
+
+    merged = ((tmp_path / "out_p0.sam").read_text()
+              + (tmp_path / "out_p1.sam").read_text())
+
+    from basal_tpu.pairs.pipeline import run_pair_end
+    from basal_tpu.config import AlignParams
+    import io
+    buf = io.StringIO()
+    run_pair_end(AlignParams(**params_kw), str(tmp_path / "ref.fa"),
+                 str(tmp_path / "reads_1.fq"), str(tmp_path / "reads_2.fq"),
+                 out_fh=buf, command_line="basal-tpu")
+    assert merged == buf.getvalue()
+
+    st0 = json.loads((tmp_path / "stats_p0.json").read_text())
+    assert st0["exchanged_queries"] > 0 and st0["exchanged_locs"] > 0
+
+
 def test_routed_index_matches_dense_single_process(tmp_path, rng):
     """RoutedSeedIndex in 1-process mode must fill entries value-identical
     to the dense index for every queried k-mer (fast in-process check of

@@ -71,10 +71,17 @@ def main():
         log = ((lambda m, *a: print(f"[p{pid}] {m}", file=sys.stderr,
                                     flush=True))
                if cfg.get("debug") else (lambda *a: None))
-        aligner = run_single_end(
-            wparams, cfg["ref"], cfg["reads"], out_fh=fh,
-            command_line=cfg.get("cmdline", "basal-tpu"),
-            index_factory=factory, timings=timings, log=log)
+        if cfg.get("reads_b"):
+            from basal_tpu.pairs.pipeline import run_pair_end
+            aligner = run_pair_end(
+                wparams, cfg["ref"], cfg["reads"], cfg["reads_b"],
+                out_fh=fh, command_line=cfg.get("cmdline", "basal-tpu"),
+                index_factory=factory, timings=timings, log=log)
+        else:
+            aligner = run_single_end(
+                wparams, cfg["ref"], cfg["reads"], out_fh=fh,
+                command_line=cfg.get("cmdline", "basal-tpu"),
+                index_factory=factory, timings=timings, log=log)
     idx = holder["idx"]
     idx.drain()
     t_total = time.time() - t0
@@ -87,8 +94,8 @@ def main():
         "t_index": timings["t_index"],
         "t_align": t_align,
         "t_total": t_total,
-        "reads": aligner.total_reads,
-        "candidates": aligner.total_candidates,
+        "reads": getattr(aligner, "total_reads", 0),
+        "candidates": getattr(aligner, "total_candidates", 0),
         "routing_rounds": idx.rounds,
         "t_exchange": idx.t_exchange,
         "t_phase": {k: round(v, 3) for k, v in idx.t_phase.items()},
@@ -96,7 +103,7 @@ def main():
         "exchanged_locs": idx.exchanged_locs,
         "local_shard_kmers": int(idx.bounds[pid + 1] - idx.bounds[pid]),
         "local_shard_positions": int(len(idx.shard.locs)),
-        "host_eval_s": aligner._host_t,
+        "host_eval_s": getattr(aligner, "_host_t", 0.0),
     }
     dev = aligner._dev
     if dev is not None and dev.meas_n:
