@@ -93,7 +93,10 @@ class DeviceContext:
         # kernel would need interpret mode, so XLA stays the default there.
         pal = os.environ.get("BASAL_TPU_PALLAS", "auto")
         if pal == "auto":
-            self.use_pallas = jax.devices()[0].platform == "tpu"
+            # gate on where the planes actually landed (jax.default_device
+            # may pin a CPU while a TPU is visible, e.g. dryrun_multichip)
+            dplat = {d.platform for d in self.ref32_dev.devices()}
+            self.use_pallas = dplat == {"tpu"}
         else:
             self.use_pallas = pal not in ("", "0")
         # measured dispatch->fetch wall time (adaptive placement input);
