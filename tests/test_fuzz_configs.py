@@ -105,6 +105,8 @@ def test_fuzz_pe_config(tmp_path, case_id):
         flags += ["-g", str(fz.randrange(1, 4))]
     if fz.random() < 0.3:
         flags += ["-r", fz.choice("012")]
+    if fz.random() < 0.25:
+        flags += ["-R"]
     base = ["-a", "r1.fq", "-b", "r2.fq", "-d", "ref.fa", "-M", rule,
             "-V", "0"]
     r = run_oracle(base + ["-o", "oracle.sam"] + flags, tmp_path)
