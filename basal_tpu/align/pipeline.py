@@ -315,12 +315,28 @@ class SingleEndAligner:
     # stop (align.cpp:459-463) while staying batched.
     EAGER_MAX_CANDS = 2_000_000
 
-    def submit_batch(self, reads):
-        """Host encode + lazy candidate build + async dispatch of wave 1."""
+    def encode_post(self, reads):
+        """Encode a batch and POST its routing query without waiting
+        (shard-resident index).  The reply lands on the service thread
+        while the caller finishes the previous batch; submit_batch(reads,
+        enc=...) then waits (usually a no-op) before any index read."""
         enc = encode_batch(self.p, reads)
         ens = getattr(self.index, "ensure_batch", None)
-        if ens is not None:  # shard-resident index: one routed fetch round
-            ens(enc)
+        if ens is not None:
+            ens(enc, wait=False)
+        return enc
+
+    def submit_batch(self, reads, enc=None):
+        """Host encode + lazy candidate build + async dispatch of wave 1."""
+        if enc is None:
+            enc = encode_batch(self.p, reads)
+            ens = getattr(self.index, "ensure_batch", None)
+            if ens is not None:  # shard-resident index: one routed round
+                ens(enc)
+        else:
+            wb = getattr(self.index, "wait_batch", None)
+            if wb is not None:
+                wb()
         self.total_reads += len(reads)
         if self.native is None:
             return ("py", enc)
@@ -797,11 +813,25 @@ def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     aligner = SingleEndAligner(params, ref, index)
     # two-deep pipeline: host-encode/dispatch batch k+1 while batch k's
     # device results stream back (JAX async dispatch covers the device+RPC
-    # latency; the replay only blocks when it fetches)
+    # latency; the replay only blocks when it fetches).  With a routed
+    # (multi-host) index, batch k+1's routing query is POSTED before batch
+    # k's finish phase, so the cross-host round-trip overlaps local work
+    # instead of sitting on the critical path.
+    routed = hasattr(index, "wait_batch")
     pending = None
     while True:
         reads = reader.next_batch()
-        state = aligner.submit_batch(reads) if reads else None
+        if routed:
+            enc = aligner.encode_post(reads) if reads else None
+            if pending is not None:
+                out_fh.write(aligner.finish_batch(pending))
+                log(f"{reader.index - params.read_start + 1} reads "
+                    f"finished. {time.time()-t0:.0f} secs passed")
+                pending = None
+            state = (aligner.submit_batch(reads, enc=enc)
+                     if reads else None)
+        else:
+            state = aligner.submit_batch(reads) if reads else None
         if pending is not None:
             out_fh.write(aligner.finish_batch(pending))
             log(f"{reader.index - params.read_start + 1} reads finished. "

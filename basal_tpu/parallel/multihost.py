@@ -389,13 +389,18 @@ class RoutedSeedIndex:
                                          daemon=True)
             self._svc.start()
 
-    def ensure_batch(self, enc) -> None:
+    def ensure_batch(self, enc, wait: bool = True) -> None:
         """One batched routing round: fetch every not-yet-present k-mer this
         batch's seed probes can touch (enc.seedval holds the value at every
         start offset, so the query set is complete before any index read).
         Own-range k-mers are served from the local shard without touching
         the network; only foreign-range queries enter the service thread's
-        next collective round."""
+        next collective round.
+
+        ``wait=False`` posts the query and returns immediately — the reply
+        lands while the caller does other work (e.g. the previous batch's
+        finish phase); call ``wait_batch()`` before ANY index read.  Only
+        one posted query may be outstanding."""
         nk = self.params.total_kmers
         q = enc.seedval.reshape(-1)
         q = np.unique(q[q < nk]).astype(np.uint32)
@@ -411,8 +416,20 @@ class RoutedSeedIndex:
             return
         self._start_service()
         with self._cv:
+            while self._pending_q is not None:  # drain a prior async post
+                self._cv.wait()
             self._pending_q = q[~own]
             self._cv.notify_all()
+            if wait:
+                while self._pending_q is not None:
+                    self._cv.wait()
+
+    def wait_batch(self) -> None:
+        """Block until an ensure_batch(wait=False) post has been answered
+        (no-op when none is outstanding or single-process)."""
+        if self.nproc == 1 or getattr(self, "_svc", None) is None:
+            return
+        with self._cv:
             while self._pending_q is not None:
                 self._cv.wait()
 

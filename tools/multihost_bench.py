@@ -129,7 +129,10 @@ def main():
     half = ncpu // 2
     pairs = []
     routed = None
-    for rep in range(3):
+    # rep -1 is an uncounted warmup: it populates the persistent jit cache
+    # (the routing collectives + extend kernels compile once ever), which
+    # otherwise lands entirely inside the first measured align phase
+    for rep in range(-1, 5):
         ts = {}
         for nprocs, cpus in ((1, [list(range(ncpu))]),
                              (2, [list(range(half)),
@@ -145,6 +148,9 @@ def main():
             print(f"[mh-bench] rep{rep} {nprocs}p x "
                   f"{len(cpus[0])} cores: "
                   f"align {ts[nprocs]:.1f}s, wall {wall:.1f}s", flush=True)
+        if rep < 0:
+            print("[mh-bench] warmup done (jit caches hot)", flush=True)
+            continue
         pairs.append((ts[1], ts[2], ts[1] / ts[2]))
         print(f"[mh-bench] rep{rep}: efficiency {pairs[-1][2]:.3f}",
               flush=True)
@@ -163,7 +169,8 @@ def main():
         "exchanged_queries": routed["exchanged_queries"],
         "exchanged_locs": routed["exchanged_locs"],
         "note": "same total core budget (1p x all cores vs 2p x half "
-                "each); efficiency = t1/max(t2), ideal 1.0, median of 3 "
+                "each); efficiency = t1/max(t2), ideal 1.0, warmup rep + "
+                "median of 5 "
                 "interleaved pairs; isolates routing/drain/skew protocol "
                 "cost (a one-VM simulation cannot add the memory bandwidth "
                 "a real second host brings); workers are jax.distributed "
