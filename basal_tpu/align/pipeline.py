@@ -477,7 +477,7 @@ class SingleEndAligner:
             return None  # no wave-1 results: all-visit-time replay
         return self._fetch_expand(state[6], state[7])
 
-    def finish_batch_prefetched(self, state, fetched) -> str:
+    def finish_batch_prefetched(self, state, fetched) -> bytes:
         """finish_batch with the wave-1 fetch already done.  NOTE: ladder
         wave-2+ still issues device calls; callers that need strict device
         serialization should only use this on eager (single-wave) batches —
@@ -486,7 +486,7 @@ class SingleEndAligner:
             return self.finish_batch(state)
         return self._finish_with(state, fetched)
 
-    def finish_batch(self, state) -> str:
+    def finish_batch(self, state) -> bytes:
         if state[0] == "py":
             return self._align_batch_python(state[1])
         return self._finish_with(state, self.prefetch_state(state))
@@ -621,10 +621,10 @@ class SingleEndAligner:
             lim += 1
         return self._emit_native(enc, waves)
 
-    def align_batch(self, reads) -> str:
+    def align_batch(self, reads) -> bytes:
         return self.finish_batch(self.submit_batch(reads))
 
-    def _align_batch_python(self, enc) -> str:
+    def _align_batch_python(self, enc) -> bytes:
         if self.p.rrbs_flag:
             from .candidates import build_candidates_rrbs
             table = build_candidates_rrbs(self.p, self.index, self.ref, enc,
@@ -642,9 +642,9 @@ class SingleEndAligner:
         out: List[str] = []
         for read, res, L in zip(enc.reads, results, enc.map_len):
             self.emitter.emit_read(read, res, int(L), out)
-        return "".join(out)
+        return "".join(out).encode("latin1")
 
-    def _emit_native(self, enc, waves) -> str:
+    def _emit_native(self, enc, waves) -> bytes:
         from .replay import ReadResult
 
         def read_result(res, i):
@@ -671,7 +671,7 @@ class SingleEndAligner:
             if res is None:  # only possible if every wave skipped it
                 res = read_result(waves[-1][1], i)
             self.emitter.emit_read(read, res, int(enc.map_len[i]), out)
-        return "".join(out)
+        return "".join(out).encode("latin1")
 
 class ThreadedRunner:
     """-p worker pool: the TPU-native replacement for the reference's pthread
@@ -776,7 +776,7 @@ def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
 
     out_fh = out_fh or sys.stdout
     if params.sam_header:
-        out_fh.write(sam_header(ref, params, command_line))
+        out_fh.write(sam_header(ref, params, command_line).encode('latin1'))
     reader = open_reads(reads_path, params, readset=0)
     if params.num_threads > 1 and params.randseed != 0 and not params.rrbs_flag:
         from collections import deque

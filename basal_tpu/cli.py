@@ -184,14 +184,17 @@ def main(argv=None):
             params, opts["d"], opts["a"], out_fh=fh,
             command_line=command_line, log=log)
 
+    # the pipelines emit BYTES (the native formatters' buffers verbatim —
+    # str round-trips measured ~0.3 us/read on the 600k-read bench)
     if out_path is None:
-        runner(sys.stdout)
+        runner(getattr(sys.stdout, "buffer", sys.stdout))
+        sys.stdout.flush()
     elif out_bam:
         from .toolkit.bamio import BamWriter
         with BamWriter(out_path) as bw:
             runner(bw)
     else:
-        with open(out_path, "w") as fh:
+        with open(out_path, "wb") as fh:
             runner(fh)
 
 

@@ -676,7 +676,7 @@ class NativeFormatter:
                 _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
                 _p(self.counters, ctypes.c_int64))
             if n >= 0:
-                return out[:n].tobytes().decode("latin1")
+                return out[:n].tobytes()
             cap = -n + 1024
 
 
@@ -806,7 +806,7 @@ class NativePairFormatter:
             if n == -2:
                 return None  # name mismatch: Python path raises exactly
             if n >= 0:
-                return out[:n].tobytes().decode("latin1")
+                return out[:n].tobytes()
             cap = -n + 1024
 
 

@@ -281,7 +281,7 @@ class PairEndAligner:
 
     MAX_BATCH_CANDS = 30_000_000
 
-    def align_batch(self, reads_a, reads_b) -> str:
+    def align_batch(self, reads_a, reads_b) -> bytes:
         p = self.p
         # candidate-volume guard: repeat-heavy references can enumerate 10^4+
         # candidates per read; split the pair batch so the eager PE tables
@@ -321,10 +321,10 @@ class PairEndAligner:
             for i in range(0, len(reads_a), step):
                 out.append(self._align_batch_inner(
                     reads_a[i:i + step], reads_b[i:i + step]))
-            return "".join(out)
+            return b"".join(out)
         return self._align_batch_inner(reads_a, reads_b)
 
-    def _align_batch_inner(self, reads_a, reads_b, pre_a=None) -> str:
+    def _align_batch_inner(self, reads_a, reads_b, pre_a=None) -> bytes:
         p = self.p
         enc_a = pre_a[0] if pre_a is not None else encode_batch(p, reads_a)
         enc_b = encode_batch(p, reads_b)
@@ -381,7 +381,7 @@ class PairEndAligner:
                     (ra, rb), (La, Lb), results,
                     (int(enc_a.read_max_snp[i]), int(enc_b.read_max_snp[i])),
                     (fa, fb), out)
-        return "".join(out)
+        return "".join(out).encode("latin1")
 
     def _pe_lazy(self, built):
         """Lazy PE evaluation for repeat-heavy references: bulk-materialize
@@ -427,7 +427,7 @@ class PairEndAligner:
             n_threads=self.nt_hint)
         return [(np.ones(B, bool), out1)]
 
-    def _align_batch_native(self, enc_a, enc_b, built_a=None) -> str:
+    def _align_batch_native(self, enc_a, enc_b, built_a=None) -> bytes:
         from ..align.replay import ReadResult
         from ..native import replay_pe
         p = self.p
@@ -545,7 +545,7 @@ class PairEndAligner:
                     (ra, rb), (La, Lb), results,
                     (int(enc_a.read_max_snp[i]), int(enc_b.read_max_snp[i])),
                     (fa, fb), out)
-        return "".join(out)
+        return "".join(out).encode("latin1")
 
 
 class PairThreadedRunner:
@@ -619,7 +619,7 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
     aligner = PairEndAligner(params, ref, index)
     out_fh = out_fh or sys.stdout
     if params.sam_header:
-        out_fh.write(sam_header(ref, params, command_line))
+        out_fh.write(sam_header(ref, params, command_line).encode('latin1'))
     rd_a = open_reads(reads_a_path, params, readset=1)
     rd_b = open_reads(reads_b_path, params, readset=2)
     if params.num_threads > 1 and params.randseed != 0 \

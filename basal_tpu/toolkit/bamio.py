@@ -199,7 +199,9 @@ class BamWriter:
     def __exit__(self, *a):
         self.close()
 
-    def write(self, text: str):
+    def write(self, text):
+        if isinstance(text, bytes):  # pipelines emit bytes since round 2
+            text = text.decode("latin1")
         data = self._tail + text
         lines = data.split("\n")
         self._tail = lines.pop()

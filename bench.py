@@ -269,7 +269,8 @@ def main():
         orps = max([orps] + paired_orps)
         # SAM equality on the full run
         from basal_tpu.align.sam import sam_header
-        ours_text = sam_header(ref, p, "bench") + "".join(sam_parts)
+        ours_text = (sam_header(ref, p, "bench").encode("latin1")
+                     + b"".join(sam_parts)).decode("latin1")
         ours_recs = [l for l in ours_text.splitlines()
                      if l and not l.startswith("@")]
         want_recs = [l for l in (work / "oracle.sam").read_text().splitlines()

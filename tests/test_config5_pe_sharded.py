@@ -46,7 +46,8 @@ def test_config5(tmp_path, rng):
         a = rd_a.next_batch()
         b = rd_b.next_batch()
         assert len(a) == len(b) == 60
-        text = sam_header(ref, p, "cfg5") + al.align_batch(a, b)
+        text = (sam_header(ref, p, "cfg5")
+                + al.align_batch(a, b).decode("latin1"))
         outs.append(text)
     assert outs[0] == outs[1], "sharded-index PE output differs from dense"
 

@@ -22,15 +22,23 @@ def run_ours(argv, cwd):
     import os
     old = os.getcwd()
     os.chdir(cwd)
-    out = io.StringIO()
+    buf = io.BytesIO()
+
+    class _FakeStdout:
+        buffer = buf
+
+        @staticmethod
+        def flush():
+            pass
+
     stdout = sys.stdout
-    sys.stdout = out
+    sys.stdout = _FakeStdout()
     try:
         cli.main(argv)
     finally:
         sys.stdout = stdout
         os.chdir(old)
-    return out.getvalue()
+    return buf.getvalue().decode("latin1")
 
 
 def diff_case(tmp_path, rng, rule, oracle_flags, genome_len=8000, n_reads=60,

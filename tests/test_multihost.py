@@ -79,11 +79,11 @@ def _single_process_sam(tmp_path, params_kw):
     import io
 
     params = AlignParams(**params_kw)
-    buf = io.StringIO()
+    buf = io.BytesIO()
     run_single_end(params, str(tmp_path / "ref.fa"),
                    str(tmp_path / "reads.fq"), out_fh=buf,
                    command_line="basal-tpu")
-    return buf.getvalue()
+    return buf.getvalue().decode("latin1")
 
 
 def test_two_process_routed_equals_single(tmp_path, rng):
@@ -164,11 +164,11 @@ def test_two_process_pair_end_equals_single(tmp_path, rng):
     from basal_tpu.pairs.pipeline import run_pair_end
     from basal_tpu.config import AlignParams
     import io
-    buf = io.StringIO()
+    buf = io.BytesIO()
     run_pair_end(AlignParams(**params_kw), str(tmp_path / "ref.fa"),
                  str(tmp_path / "reads_1.fq"), str(tmp_path / "reads_2.fq"),
                  out_fh=buf, command_line="basal-tpu")
-    assert merged == buf.getvalue()
+    assert merged == buf.getvalue().decode("latin1")
 
     st0 = json.loads((tmp_path / "stats_p0.json").read_text())
     assert st0["exchanged_queries"] > 0 and st0["exchanged_locs"] > 0

@@ -63,14 +63,14 @@ def test_overlapped_ladder_waves(tmp_path):
         from basal_tpu.align.pipeline import run_single_end
         p = AlignParams(conversion="A:G", randseed=9, out_unmap=True,
                         verbose_level=0, batch_reads=64)
-        out = io.StringIO()
+        out = io.BytesIO()
         cwd = os.getcwd()
         os.chdir(tmp_path)
         try:
             run_single_end(p, "ref.fa", "reads.fq", out_fh=out)
         finally:
             os.chdir(cwd)
-        got = norm_sam(out.getvalue())
+        got = norm_sam(out.getvalue().decode('latin1'))
     finally:
         SingleEndAligner.EAGER_MAX_CANDS = old_eager
     want = norm_sam((tmp_path / "oracle.sam").read_text())
@@ -99,11 +99,11 @@ def test_pe_threaded_equals_serial(tmp_path):
         p = AlignParams(conversion="C:T", randseed=5, pairend=True,
                         out_unmap=True, verbose_level=0, batch_reads=64,
                         num_threads=nthreads)
-        out = io.StringIO()
+        out = io.BytesIO()
         os.chdir(tmp_path)
         try:
             run_pair_end(p, "ref.fa", "r1.fq", "r2.fq", out_fh=out)
         finally:
             os.chdir(cwd)
-        outs.append(norm_sam(out.getvalue()))
+        outs.append(norm_sam(out.getvalue().decode('latin1')))
     assert outs[0] == outs[1]

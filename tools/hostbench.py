@@ -71,7 +71,8 @@ for rep in range(3):
 
 # SAM equality on the last pass
 from basal_tpu.align.sam import sam_header
-ours = sam_header(ref, p, "hostbench") + "".join(parts)
+ours = (sam_header(ref, p, "hostbench").encode("latin1")
+        + b"".join(parts)).decode("latin1")
 ours_recs = [l for l in ours.splitlines() if l and not l.startswith("@")]
 want = [l for l in (work / "oracle.sam").read_text().splitlines()
         if l and not l.startswith("@")]

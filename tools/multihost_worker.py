@@ -67,7 +67,7 @@ def main():
     t0 = time.time()
     timings = {}
     out_path = workdir / f"out_p{pid}.sam"
-    with open(out_path, "w") as fh:
+    with open(out_path, "wb") as fh:
         log = ((lambda m, *a: print(f"[p{pid}] {m}", file=sys.stderr,
                                     flush=True))
                if cfg.get("debug") else (lambda *a: None))
