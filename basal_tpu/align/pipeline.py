@@ -155,22 +155,10 @@ class DeviceContext:
 
         need_mread = self.mode == "multiway"
         need_len = p.gap > 0
-        if self.use_pallas and p.gap == 0:
-            from ..ops.extend_pallas import extend_counts_pallas
-            dummy = np.zeros((1, enc.W), np.uint32)
-            res = extend_counts_pallas(
-                self.ref32_dev,
-                jnp.asarray(padc(loc, 12800), dtype=jnp.int32),
-                jnp.asarray(padc(plane).astype(np.uint8)),
-                jnp.asarray(roff),
-                jnp.asarray(padr(enc.base)), jnp.asarray(padr(enc.valid)),
-                jnp.asarray(padr(enc.mread) if need_mread else dummy),
-                jnp.asarray(padr1(np.repeat(enc.n_count, 2)),
-                            dtype=jnp.int32),
-                mode=self.mode, W=enc.W, nw=self.nw)
-            return C, res
-        # single packed meta + planes upload (tunnel RTT amortization)
-        from ..ops.extend import extend_kernel_packed
+        # single packed meta + planes upload for BOTH kernels (tunnel RTT
+        # amortization: the link charges ~35 ms per transfer, so per-array
+        # uploads would cost ~7 RTTs/wave — measured as a 1.3-1.7x
+        # end-to-end regression when the pallas path first shipped unpacked)
         meta = np.concatenate([
             padc(loc, 12800).astype(np.int32), roff,
             padr1(np.repeat(enc.n_count, 2)).astype(np.int32),
@@ -181,6 +169,16 @@ class DeviceContext:
         if need_len:
             plane_list.append(padr(enc.lenmask))
         planes = np.concatenate(plane_list, axis=0)
+        if self.use_pallas and p.gap == 0:
+            from ..ops.extend_pallas import extend_counts_pallas_packed
+            res = extend_counts_pallas_packed(
+                self.ref32_dev, jnp.asarray(meta),
+                jnp.asarray(planes),
+                jnp.asarray(padc(plane).astype(np.uint8)),
+                mode=self.mode, W=enc.W, nw=self.nw,
+                C=cpad, U=Upad, n_planes=len(plane_list))
+            return C, res
+        from ..ops.extend import extend_kernel_packed
         res = extend_kernel_packed(
             self.ref32_dev, jnp.asarray(meta),
             jnp.asarray(planes),

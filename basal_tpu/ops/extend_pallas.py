@@ -58,16 +58,9 @@ def _count_kernel(mode: str, W: int, r_ref, sh2_ref, base_ref, valid_ref,
     out_ref[:] = jnp.minimum(total, 255).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mode", "W", "nw", "interpret"))
-def extend_counts_pallas(ref32, loc, plane, row_off, base, valid, mread,
-                         ncnt, *, mode: str, W: int, nw: int,
-                         interpret: bool = False):
-    """Ungapped batched extension with the Pallas count core.
-
-    Same contract as ops.extend.extend_kernel with gap=0: returns u8 counts.
-    C must be a multiple of TILE_C (the pipeline pads to pow2 >= 256).
-    """
+def _counts_core(ref32, loc, plane, row_off, base, valid, mread,
+                 ncnt, *, mode: str, W: int, nw: int,
+                 interpret: bool = False):
     C = loc.shape[0]
     row = (jnp.searchsorted(row_off, jnp.arange(C, dtype=row_off.dtype),
                             side="right") - 1).astype(jnp.int32)
@@ -98,3 +91,40 @@ def extend_counts_pallas(ref32, loc, plane, row_off, base, valid, mread,
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.uint8),
         interpret=interpret,
     )(r, sh2, b, v, mr, nc)[:, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "W", "nw", "interpret"))
+def extend_counts_pallas(ref32, loc, plane, row_off, base, valid, mread,
+                         ncnt, *, mode: str, W: int, nw: int,
+                         interpret: bool = False):
+    """Ungapped batched extension with the Pallas count core.
+
+    Same contract as ops.extend.extend_kernel with gap=0: returns u8 counts.
+    C must be a multiple of TILE_C (the pipeline pads to pow2 >= 256).
+    """
+    return _counts_core(ref32, loc, plane, row_off, base, valid, mread,
+                        ncnt, mode=mode, W=W, nw=nw, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "W", "nw", "C", "U", "n_planes",
+                                    "interpret"))
+def extend_counts_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
+                                W: int, nw: int, C: int, U: int,
+                                n_planes: int, interpret: bool = False):
+    """RTT-minimizing entry mirroring ops.extend.extend_kernel_packed: one
+    ``meta`` i32 buffer (loc | row_off | ncnt | readlen) + one ``planes``
+    u32 buffer + the u8 strand plane — 3 host->device transfers per wave
+    instead of ~7 (the remote-TPU tunnel charges ~35 ms per transfer).
+    ``readlen`` rides along unused so the pipeline builds ONE meta buffer
+    for either kernel."""
+    loc = meta[:C]
+    row_off = meta[C:C + U + 1]
+    ncnt = meta[C + U + 1:C + 2 * U + 1]
+    base = planes[:U]
+    valid = planes[U:2 * U]
+    mread = (planes[2 * U:3 * U] if mode == "multiway"
+             else jnp.zeros((1, planes.shape[1]), jnp.uint32))
+    return _counts_core(ref32, loc, plane_u8, row_off, base, valid, mread,
+                        ncnt, mode=mode, W=W, nw=nw, interpret=interpret)

@@ -60,3 +60,22 @@ def test_pallas_counts_match_xla(tmp_path, rng, mode, rule, nt3):
     got = extend_counts_pallas(*args, mode=mode, W=enc.W, nw=nw,
                                interpret=True)
     assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # packed entry (the production upload shape): same meta/planes layout
+    # the pipeline builds for extend_kernel_packed
+    from basal_tpu.ops.extend_pallas import extend_counts_pallas_packed
+    U = len(used)
+    meta = np.concatenate([
+        loc, row_off,
+        np.repeat(enc.n_count, 2)[used].astype(np.int32),
+        np.repeat(enc.map_len, 2)[used].astype(np.int32)])
+    plane_list = [enc.base[used], enc.valid[used]]
+    if mode == "multiway":
+        plane_list.append(enc.mread[used])
+    planes = np.concatenate(plane_list, axis=0)
+    got2 = extend_counts_pallas_packed(
+        args[0], jnp.asarray(meta), jnp.asarray(planes),
+        jnp.asarray(plane.astype(np.uint8)),
+        mode=mode, W=enc.W, nw=nw, C=C + pad, U=U,
+        n_planes=len(plane_list), interpret=True)
+    assert np.array_equal(np.asarray(got2), np.asarray(want))
