@@ -65,9 +65,9 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, np.ndarray]]:
         nxt = data.find(b">", hdr_end)
         body = data[hdr_end + 1:nxt if nxt >= 0 else len(data)]
         arr = np.frombuffer(body, dtype=np.uint8)
-        keep = (arr != ord("\n")) & (arr != ord("\r")) & (arr != ord(" ")) \
-            & (arr != ord("\t"))
-        yield name, arr[keep]
+        # strip \n \r \t and spaces in one comparison (all whitespace is
+        # <= 0x20; sequence chars incl. IUPAC/lowercase/'-' are all above)
+        yield name, arr[arr > 0x20]
         if nxt < 0:
             return
         pos = nxt
@@ -188,8 +188,19 @@ def _unmask_region(seq: np.ndarray, count: int, total_len: int) -> List[Block]:
     useful = USEFUL[seq]
     nx = NXMASK[seq]
     out: List[Block] = []
-    useful_idx = np.flatnonzero(useful)
-    nx_idx = np.flatnonzero(nx)
+    # Only RUN STARTS can ever be selected by the scan below: ``begin`` is
+    # the first useful char at/after an nx position (never useful), so its
+    # predecessor is non-useful; ``bend`` is the first nx char after a
+    # useful char, so its predecessor is non-nx.  Scanning transitions
+    # instead of every position avoids materializing a ~length-sized int64
+    # index array (400 MB and seconds of nonzero on an N-free 50 Mbp
+    # genome, where every base is useful).
+    useful_idx = np.flatnonzero(useful[1:] & ~useful[:-1]) + 1
+    if length and useful[0]:
+        useful_idx = np.concatenate([[0], useful_idx])
+    nx_idx = np.flatnonzero(nx[1:] & ~nx[:-1]) + 1
+    if length and nx[0]:
+        nx_idx = np.concatenate([[0], nx_idx])
     end = 0
     while end < length:
         k = np.searchsorted(useful_idx, end)

@@ -94,6 +94,34 @@ def _kmer_cutoff(params: AlignParams, uk: np.ndarray, uc: np.ndarray) -> int:
     return int(nz[qidx - zeros])
 
 
+def _kmer_cutoff_dense(params: AlignParams, counts: np.ndarray) -> int:
+    """_kmer_cutoff on the dense per-slot count array via O(m) selection:
+    the qidx-th smallest of {counts[k] : k < 3^s - 1} through
+    ``np.partition`` over the occurring slots (exact for integers; the
+    full stable sort was seconds of the 50 Mbp startup).  Same float32
+    quantile index and last-slot exclusion quirks as _kmer_cutoff
+    (refbase.cpp:362-363)."""
+    nk = params.total_kmers
+    one_minus = np.float32(1) - np.float32(params.max_kmer_ratio)
+    qidx = int(np.float32(nk) * one_minus) - 1
+    if qidx >= nk - 1:
+        return int(counts[nk - 1])
+    rank = (nk - 1) - qidx  # 1-based rank from the top
+    if rank <= 64:
+        try:  # one C++ pass over the table (mask+gather cost seconds)
+            from ..native import native_top_counts
+            return int(native_top_counts(counts[:nk - 1], 64)[rank - 1])
+        except Exception:  # noqa: BLE001 - native engine is optional
+            pass
+    head = counts[:nk - 1]
+    nz = head[head > 0]
+    zeros = (nk - 1) - nz.size
+    if qidx < zeros:
+        return 0
+    k = qidx - zeros
+    return int(np.partition(nz, k)[k])
+
+
 def build_index(ref: PackedReference, params: AlignParams) -> SeedIndex:
     nk = params.total_kmers
     s = params.seed_size
@@ -109,12 +137,9 @@ def build_index(ref: PackedReference, params: AlignParams) -> SeedIndex:
         nat = None
     if nat is not None:
         starts, counts, n1, locs = nat
-        occupied = counts > 0
-        uk = np.flatnonzero(occupied)
-        uc = counts[uk].astype(np.int64)
         return SeedIndex(
             starts=starts, counts=counts, n1=n1, locs=locs,
-            max_kmer_num=_kmer_cutoff(params, uk, uc),
+            max_kmer_num=_kmer_cutoff_dense(params, counts),
         )
 
     seeds0 = seeds_from_words(ref.ref32[0], pos0, s)

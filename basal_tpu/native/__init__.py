@@ -68,6 +68,7 @@ def get_lib():
     lib.bt_encode_batch.restype = ctypes.c_int64
     lib.bt_format_se.restype = ctypes.c_int64
     lib.bt_format_pe.restype = ctypes.c_int64
+    lib.bt_top_counts.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
     lib.bt_eval_candidates_gap.restype = ctypes.c_int64
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
@@ -808,6 +809,18 @@ class NativePairFormatter:
             if n >= 0:
                 return out[:n].tobytes()
             cap = -n + 1024
+
+
+def native_top_counts(counts: np.ndarray, K: int) -> np.ndarray:
+    """K largest values of the dense k-mer count table, descending (one
+    C++ memory pass; the cutoff quantile lives ~21 slots from the top)."""
+    lib = get_lib()
+    out = np.empty(K, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    lib.bt_top_counts(_p(counts, ctypes.c_int32),
+                      ctypes.c_int64(len(counts)), ctypes.c_int32(K),
+                      _p(out, ctypes.c_int32))
+    return out
 
 
 def host_eval_candidates(params, ref, enc, loc, plane, row, n_threads=0):

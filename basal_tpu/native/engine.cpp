@@ -1978,6 +1978,26 @@ extern "C" i64 bt_fill_eval_groups(
 // u32 word, first base in bits 31:30.  reverse=1 reads chars back-to-front
 // (the RC plane packs the padded sequence reversed through the complement
 // table).  n must be a multiple of 16.
+// Top-K values of the dense k-mer count table (descending), one memory
+// pass with a tiny insertion buffer — the k-mer cutoff quantile sits
+// ~nk*5e-7 slots from the top (refbase.cpp:362-363), so K=64 covers the
+// default; callers fall back to a full selection for exotic -k ratios.
+extern "C" i64 bt_top_counts(const i32* counts, i64 n, i32 K, i32* out)
+{
+    for (i32 i = 0; i < K; ++i) out[i] = -1;
+    i32 floor_ = -1;  // smallest value currently in the top-K buffer
+    for (i64 i = 0; i < n; ++i) {
+        i32 v = counts[i];
+        if (v <= floor_) continue;
+        i32 j = K - 1;
+        while (j > 0 && out[j - 1] < v) { out[j] = out[j - 1]; --j; }
+        out[j] = v;
+        floor_ = out[K - 1];
+    }
+    for (i32 i = 0; i < K; ++i) if (out[i] < 0) out[i] = 0;
+    return 0;
+}
+
 extern "C" i64 bt_pack_ref(const u8* chars, i64 n, const u8* table,
                            i32 reverse, u32* out, i32 n_threads)
 {
