@@ -55,3 +55,36 @@ def test_sharded_sam_identical(tmp_path, rng):
         rd = open_reads(str(tmp_path / "reads.fq"), p)
         outs.append(al.align_batch(rd.next_batch()))
     assert outs[0] == outs[1]
+
+
+def test_kmer_cutoff_dense_matches_sparse():
+    """_kmer_cutoff_dense (C++ top-K fast path AND the numpy partition
+    fallback) must equal the sparse golden _kmer_cutoff for default and
+    exotic -k ratios, including all-zero and rank-beyond-64 cases."""
+    import dataclasses
+
+    import numpy as np
+
+    from basal_tpu.config import AlignParams
+    from basal_tpu.index.seedindex import _kmer_cutoff, _kmer_cutoff_dense
+
+    rng = np.random.default_rng(99)
+    p0 = AlignParams(conversion="A:G", randseed=1)
+    nk = p0.total_kmers
+    counts = np.zeros(nk, np.int32)
+    nz = rng.integers(0, nk, 3_000_000)
+    counts[nz] = rng.integers(1, 5000, nz.size).astype(np.int32)
+    counts[nk - 1] = 1234  # last slot: excluded-from-sort quirk
+
+    def sparse(p):
+        uk = np.flatnonzero(counts).astype(np.int64)
+        return _kmer_cutoff(p, uk, counts[uk].astype(np.int64))
+
+    for ratio in (p0.max_kmer_ratio, 5e-7, 1e-5, 1e-3, 0.01, 0.9):
+        p = dataclasses.replace(p0, max_kmer_ratio=ratio)
+        assert _kmer_cutoff_dense(p, counts) == sparse(p), ratio
+
+    zero = np.zeros(nk, np.int32)
+    for ratio in (5e-7, 0.01):
+        p = dataclasses.replace(p0, max_kmer_ratio=ratio)
+        assert _kmer_cutoff_dense(p, zero) == 0
