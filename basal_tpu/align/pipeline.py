@@ -178,6 +178,19 @@ class DeviceContext:
                 mode=self.mode, W=enc.W, nw=self.nw,
                 C=cpad, U=Upad, n_planes=len(plane_list))
             return C, res
+        import os
+        if (self.use_pallas and p.gap > 0
+                and os.environ.get("BASAL_TPU_PALLAS_GAP") == "1"):
+            # opt-in until measured on a real chip (bit-identical to the
+            # XLA kernel in interpreter mode, tests/test_pallas_kernel.py)
+            from ..ops.extend_pallas import extend_gap_pallas_packed
+            res = extend_gap_pallas_packed(
+                self.ref32_dev, jnp.asarray(meta),
+                jnp.asarray(planes),
+                jnp.asarray(padc(plane).astype(np.uint8)),
+                mode=self.mode, gap=p.gap, W=enc.W, nw=self.nw,
+                C=cpad, U=Upad, n_planes=len(plane_list))
+            return C, res
         from ..ops.extend import extend_kernel_packed
         res = extend_kernel_packed(
             self.ref32_dev, jnp.asarray(meta),

@@ -107,6 +107,155 @@ def extend_counts_pallas(ref32, loc, plane, row_off, base, valid, mread,
                         ncnt, mode=mode, W=W, nw=nw, interpret=interpret)
 
 
+def _positions_block(flagw_masked, fill, W: int, reverse: bool, K: int):
+    """First K mismatch lane positions of a [T, W] masked flag block,
+    ascending read position (reverse=False) or ascending distance-from-end
+    (reverse=True; reported as L-1-p) — the in-kernel twin of
+    ops.extend._first_positions, replacing its full sort with K
+    min-extract passes (positions are unique per row, so extract-min +
+    mask-to-fill reproduces sorted()[:K] exactly, fill padding included)."""
+    bits = (flagw_masked | (flagw_masked >> 1)) & jnp.uint32(0x55555555)
+    # shifts/lane indexes via in-kernel iota (pallas forbids captured
+    # constant arrays); first base sits at bit 30 of its word
+    i16_ = jax.lax.broadcasted_iota(jnp.uint32, (1, 16), 1)
+    shifts = jnp.uint32(30) - jnp.uint32(2) * i16_
+    cols = []
+    for w in range(W):
+        cols.append((bits[:, w:w + 1] >> shifts) & jnp.uint32(1))
+    lane_bits = jnp.concatenate(cols, axis=1)          # [T, W*16]
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W * 16), 1)
+    pos = jnp.where(reverse, fill - 1 - lane_idx, lane_idx)
+    score = jnp.where(lane_bits != 0, pos, fill).astype(jnp.int32)
+    outs = []
+    for _ in range(K):
+        m = jnp.min(score, axis=1, keepdims=True)
+        outs.append(m)
+        score = jnp.where(score == m, fill, score)
+    return jnp.concatenate(outs, axis=1)               # [T, K]
+
+
+def _gap_kernel(mode: str, W: int, gap: int, K: int,
+                r_ref, sh2_ref, base_ref, valid_ref, mread_ref, lm_ref,
+                ncnt_ref, rlen_ref,
+                cnt_ref, pos0_ref, pos1_ref):
+    """One tile of the GAPPED extension: counts + ascending mismatch
+    positions of the main alignment + reverse positions of the 2*gap
+    shifted alignments, all from ONE gathered [T, W+3] ref window in VMEM
+    (the XLA path rematerializes [C, W] intermediates in HBM per shift).
+    sh2 carries (loc & 15) << 1; a shifted alignment loc+s re-derives its
+    word offset and bit shift from it (s in [-gap, gap], |s| <= 3 < 16, so
+    the word offset moves by at most one)."""
+    r = r_ref[:]
+    sh2 = sh2_ref[:].astype(jnp.int32)                 # [T, 1]
+    b = base_ref[:]
+    v = valid_ref[:]
+    lm = lm_ref[:]
+    fill = rlen_ref[:].astype(jnp.int32)               # [T, 1] map_len
+
+    def aligned(off, sh):
+        # A[w] = (r[off+w] << sh) | ((r[off+w+1] >> (31-sh)) >> 1); off is
+        # a per-row 0/1/2 word offset into the W+3 gathered window
+        sh_u = sh.astype(jnp.uint32)
+        cols = []
+        for w in range(W):
+            lo = jnp.where(off == 0, r[:, w:w + 1],
+                           jnp.where(off == 1, r[:, w + 1:w + 2],
+                                     r[:, w + 2:w + 3]))
+            hi = jnp.where(off == 0, r[:, w + 1:w + 2],
+                           jnp.where(off == 1, r[:, w + 2:w + 3],
+                                     r[:, w + 3:w + 4]))
+            cols.append((lo << sh_u) | ((hi >> (jnp.uint32(31) - sh_u)) >> 1))
+        return jnp.concatenate(cols, axis=1)
+
+    def flags_of(A):
+        if mode == "oneway":
+            return mismatch_words_oneway(b, A)
+        if mode == "multiway":
+            return mismatch_words_multiway(b, A, mread_ref[:])
+        return mismatch_words_nt3(b, A)
+
+    one = jnp.ones_like(sh2)
+    flags = flags_of(aligned(one, sh2))
+    mm = flags & v
+    lanes = (mm | (mm >> 1)) & jnp.uint32(0x55555555)
+    cnt = jnp.sum(jax.lax.population_count(lanes).astype(jnp.int32),
+                  axis=1, keepdims=True)
+    cnt_ref[:] = jnp.minimum(ncnt_ref[:] + cnt, 255).astype(jnp.uint8)
+    pos0_ref[:] = _positions_block(flags & lm, fill, W, False, K)
+
+    for tt in range(1, 2 * gap + 1):
+        t = (tt + 1) // 2
+        s = (1 - (tt % 2) * 2) * t                     # odd -> -t, even -> +t
+        sh2_s = sh2 + 2 * s
+        off_s = one + (sh2_s >> 5)                     # floor div: -2 -> -1
+        sh2_s = sh2_s & 31
+        flags_s = flags_of(aligned(off_s, sh2_s))
+        p = _positions_block(flags_s & lm, fill, W, True, K)
+        pos1_ref[:, (tt - 1) * K:tt * K] = p.astype(jnp.int16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "gap", "W", "nw", "C", "U",
+                                    "n_planes", "interpret"))
+def extend_gap_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
+                             gap: int, W: int, nw: int, C: int, U: int,
+                             n_planes: int, interpret: bool = False):
+    """GAPPED batched extension with the Pallas core: returns
+    (counts u8[C], pos0 i16[C, K_POS], pos1 i16[C, 2*gap, K_POS]) —
+    identical contract to ops.extend.extend_kernel_packed with gap>0.
+    Opt-in via BASAL_TPU_PALLAS_GAP=1 until measured on a real chip."""
+    from .extend import K_POS
+    K = K_POS
+    loc = meta[:C]
+    row_off = meta[C:C + U + 1]
+    ncnt = meta[C + U + 1:C + 2 * U + 1]
+    readlen = meta[C + 2 * U + 1:C + 3 * U + 1]
+    base = planes[:U]
+    valid = planes[U:2 * U]
+    k = 2
+    if mode == "multiway":
+        mread = planes[k * U:(k + 1) * U]
+        k += 1
+    else:
+        mread = jnp.zeros((1, planes.shape[1]), jnp.uint32)
+    lenmask = planes[k * U:(k + 1) * U]
+
+    row = (jnp.searchsorted(row_off, jnp.arange(C, dtype=row_off.dtype),
+                            side="right") - 1).astype(jnp.int32)
+    k0 = (loc >> 4) - 1
+    sh2 = ((loc & 15) << 1).astype(jnp.int32)[:, None]
+    gidx = plane_u8.astype(jnp.int32) * jnp.int32(nw) + k0
+    idx = gidx[:, None] + jnp.arange(W + 3, dtype=jnp.int32)[None, :]
+    r = jnp.take(ref32, idx)                           # XLA gather [C, W+3]
+    b = jnp.take(base, row, axis=0)
+    v = jnp.take(valid, row, axis=0)
+    mr = (jnp.take(mread, row, axis=0) if mode == "multiway"
+          else jnp.zeros((C, W), jnp.uint32))
+    lm = jnp.take(lenmask, row, axis=0)
+    nc = jnp.take(ncnt, row)[:, None].astype(jnp.int32)
+    rl = jnp.take(readlen, row)[:, None].astype(jnp.int32)
+
+    grid = (C // TILE_C,)
+
+    def spec(width):
+        return pl.BlockSpec((TILE_C, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    cnt, pos0, pos1 = pl.pallas_call(
+        functools.partial(_gap_kernel, mode, W, gap, K),
+        grid=grid,
+        in_specs=[spec(W + 3), spec(1), spec(W), spec(W), spec(W), spec(W),
+                  spec(1), spec(1)],
+        out_specs=[spec(1), spec(K), spec(2 * gap * K)],
+        out_shape=[jax.ShapeDtypeStruct((C, 1), jnp.uint8),
+                   jax.ShapeDtypeStruct((C, K), jnp.int32),
+                   jax.ShapeDtypeStruct((C, 2 * gap * K), jnp.int16)],
+        interpret=interpret,
+    )(r, sh2, b, v, mr, lm, nc, rl)
+    return (cnt[:, 0], pos0.astype(jnp.int16),
+            pos1.reshape(C, 2 * gap, K))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mode", "W", "nw", "C", "U", "n_planes",
                                     "interpret"))
