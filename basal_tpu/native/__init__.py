@@ -583,7 +583,8 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
 
 
 class NativeFormatter:
-    """C++ SE SAM formatting (bt_format_se)."""
+    """C++ SE SAM formatting (bt_format_se); format() returns the SAM
+    body as BYTES (written verbatim to the binary output sink)."""
 
     def __init__(self, params, ref):
         self.p = params
