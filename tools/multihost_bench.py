@@ -110,6 +110,7 @@ def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     genome_bp = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     profile = sys.argv[3] if len(sys.argv) > 3 else "random"
+    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
     tmp = Path(tempfile.mkdtemp(prefix="mh_bench_"))
     print(f"[mh-bench] generating {genome_bp} bp {profile} genome, "
@@ -132,7 +133,7 @@ def main():
     # rep -1 is an uncounted warmup: it populates the persistent jit cache
     # (the routing collectives + extend kernels compile once ever), which
     # otherwise lands entirely inside the first measured align phase
-    for rep in range(-1, 5):
+    for rep in range(-1, n_reps):
         ts = {}
         for nprocs, cpus in ((1, [list(range(ncpu))]),
                              (2, [list(range(half)),
@@ -170,7 +171,7 @@ def main():
         "exchanged_locs": routed["exchanged_locs"],
         "note": "same total core budget (1p x all cores vs 2p x half "
                 "each); efficiency = t1/max(t2), ideal 1.0, warmup rep + "
-                "median of 5 "
+                f"median of {n_reps} "
                 "interleaved pairs; isolates routing/drain/skew protocol "
                 "cost (a one-VM simulation cannot add the memory bandwidth "
                 "a real second host brings); workers are jax.distributed "
