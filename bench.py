@@ -164,12 +164,32 @@ def main():
         log(f"oracle single-thread: {orps:.0f} reads/s "
             f"(full {t_full:.1f}s, startup {t_start:.1f}s)")
 
+    # The axon tunnel has outage windows during which backend init either
+    # raises UNAVAILABLE or hangs indefinitely in a connect-retry loop
+    # (observed 2026-08-18: one process slept 17 min, a retry errored after
+    # 50).  Probe it in a disposable subprocess with a hard timeout; on
+    # failure fall back to jax-cpu so the bench still measures the
+    # (placement-adaptive) host path and reports a metric.
+    platform = "tpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=180, capture_output=True)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[-200:])
+    except Exception as e:
+        log(f"TPU probe failed ({type(e).__name__}); falling back to jax-cpu")
+        platform = "cpu-fallback"
+
     from basal_tpu.config import AlignParams
     from basal_tpu.index.reference import load_reference
     from basal_tpu.index.seedindex import build_index
     from basal_tpu.reads.io import open_reads
     from basal_tpu.align.pipeline import SingleEndAligner
     import jax
+    if platform == "cpu-fallback":
+        jax.config.update("jax_platforms", "cpu")
 
     log(f"jax devices: {jax.devices()}")
     p = AlignParams(conversion="A:G", randseed=1, verbose_level=0)
@@ -256,7 +276,7 @@ def main():
     ours_rps = sorted(rates)[len(rates) // 2] if rates else n_warm / t_warm
     log(f"ours: median of {len(rates)} passes = {ours_rps:.0f} reads/s")
 
-    extra = {"pass_rates": [round(r) for r in rates]}
+    extra = {"pass_rates": [round(r) for r in rates], "platform": platform}
     vs = None
     if oracle:
         # same-window pairs: our pass k vs the oracle run right after it;
