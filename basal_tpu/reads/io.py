@@ -253,20 +253,26 @@ class RawFastqReader:
         self._pos = 0
         self._n = 0
         self._skip = params.read_start - 1
+        self._fut = None     # pending background _produce
+        self._ex = None      # lazy one-slot prefetch executor
 
-    def _scan_chunk(self) -> bool:
+    def _produce(self):
+        """Read + native-scan the next chunk.  Returns (buf, arr, pos0, n)
+        or None at EOF.  Only ever runs one-at-a-time (inline or as the
+        single pending prefetch future), so fh/_carry/_eof/_skip are
+        touched by exactly one thread at any moment."""
         import ctypes
         from ..native import get_lib, _p
         np = self.np
         while True:
             if self._eof and not self._carry:
-                return False
+                return None
             data = b"" if self._eof else self.fh.read(self.CHUNK)
             if not self._eof and len(data) < self.CHUNK:
                 self._eof = True
             blob = self._carry + data if self._carry else data
             if not blob:
-                return False
+                return None
             buf = np.frombuffer(blob, np.uint8)
             cap = blob.count(b"\n") // 4 + 2
             no = np.empty(cap, np.int64)
@@ -289,20 +295,37 @@ class RawFastqReader:
             if nrec == 0:
                 if self._eof:
                     self._carry = b""  # truncated trailing record: drop
-                    return False
+                    return None
                 continue  # carry grew; read more
-            self._buf = buf
-            self._arr = (no[:nrec], nl[:nrec], so[:nrec], sl[:nrec],
-                         qo[:nrec], ql[:nrec])
-            self._pos = 0
-            self._n = nrec
+            pos0 = 0
             if self._skip:
                 take = min(self._skip, nrec)
-                self._pos += take
+                pos0 += take
                 self._skip -= take
-                if self._pos >= self._n:
+                if pos0 >= nrec:
                     continue
-            return True
+            arr = (no[:nrec], nl[:nrec], so[:nrec], sl[:nrec],
+                   qo[:nrec], ql[:nrec])
+            return (buf, arr, pos0, nrec)
+
+    def _scan_chunk(self) -> bool:
+        """Install the next chunk, prefetching the one after it in a
+        background thread so file reads + native scans overlap the
+        pipeline's compute (worth ~15% of warm host wall)."""
+        if self._fut is not None:
+            res = self._fut.result()
+            self._fut = None
+        else:
+            res = self._produce()
+        if res is None:
+            return False
+        self._buf, self._arr, self._pos, self._n = res
+        if not (self._eof and not self._carry):
+            if self._ex is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._ex = ThreadPoolExecutor(1)
+            self._fut = self._ex.submit(self._produce)
+        return True
 
     def next_batch(self, batch_size: Optional[int] = None):
         p = self.params
@@ -326,6 +349,12 @@ class RawFastqReader:
         return batch
 
     def close(self):
+        if self._fut is not None:
+            self._fut.result()   # let the in-flight read finish first
+            self._fut = None
+        if self._ex is not None:
+            self._ex.shutdown()
+            self._ex = None
         self.fh.close()
 
 
