@@ -320,7 +320,9 @@ class RawFastqReader:
         if res is None:
             return False
         self._buf, self._arr, self._pos, self._n = res
-        if not (self._eof and not self._carry):
+        import os
+        if (not (self._eof and not self._carry)
+                and os.environ.get("BASAL_TPU_NO_PREFETCH") != "1"):
             if self._ex is None:
                 from concurrent.futures import ThreadPoolExecutor
                 self._ex = ThreadPoolExecutor(1)
