@@ -319,60 +319,81 @@ class AvgMod:
             self._sites[cr] = per
         return self._sites[cr]
 
+    @staticmethod
+    def _batch_sites(sites, pos, lens, allseq, seq0):
+        """Vectorized covered-site extraction for a whole read group:
+        returns (gpos, bases, rid, n_cov) flattened over all reads, where
+        rid maps each site back to its read — the batched twin of the
+        per-read `sites[a:b2]` slice."""
+        a = np.searchsorted(sites, pos)
+        b = np.searchsorted(sites, pos + lens)
+        n = b - a
+        total = int(n.sum())
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.astype(np.uint8), z, n
+        rid = np.repeat(np.arange(len(pos)), n)
+        csum = np.cumsum(n) - n
+        idx = np.repeat(a - csum, n) + np.arange(total)
+        gpos = sites[idx]
+        offs = gpos - pos[rid]
+        bases = allseq[seq0[rid] + offs]
+        return gpos, bases, rid, n
+
     def _accumulate(self, batch):
+        """Batched pileup: one vectorized pass per (chr, strand) read group
+        instead of ~6 small numpy calls per read (call overhead dominated
+        the wall on large inputs).  Semantics identical to _add_file_slow
+        per read: the converted_site filter (absolute or fractional) gates
+        BOTH the forward accumulation and the SNP-plane counts, and the
+        -x context mask applies to accumulation only, never to n_conv."""
         if not batch:
             return
         self.nmap += len(batch)
         mode_m = self.mode == "M"
-        for seq, strand, cr, pos in batch:
+        groups = {}
+        for info in batch:
+            groups.setdefault((info[2], info[1]), []).append(info)
+        for (cr, strand), lst in groups.items():
             sites, sites_rc, lut_mod, lut_unmod, lut_mod_rc, lut_unmod_rc = \
                 self._site_index(cr)[strand]
             markcr = self.refmark.get(cr)
-            sb = np.frombuffer(seq.encode("latin1"), np.uint8)
-            pos2 = pos + len(sb)
-            a = np.searchsorted(sites, pos)
-            b2 = np.searchsorted(sites, pos2)
-            offs = sites[a:b2] - pos
-            bases = sb[offs]
+            R = len(lst)
+            pos = np.fromiter((i[3] for i in lst), np.int64, R)
+            lens = np.fromiter((len(i[0]) for i in lst), np.int64, R)
+            allseq = np.frombuffer(
+                "".join(i[0] for i in lst).encode("latin1"), np.uint8)
+            seq0 = np.cumsum(lens) - lens
+
+            gpos, bases, rid, n_cov = self._batch_sites(
+                sites, pos, lens, allseq, seq0)
             is_mod = lut_mod[bases]
             is_unmod = lut_unmod[bases]
-            n_conv = int((is_mod if mode_m else is_unmod).sum())
-            n_cov = len(offs)
+            conv = is_mod if mode_m else is_unmod
+            n_conv = np.bincount(rid, conv, minlength=R)
             if self.converted_site >= 1:
-                if n_conv < self.converted_site:
-                    continue
-            elif n_conv < self.converted_site * n_cov:
-                continue
-            if n_cov:
-                gpos = offs + pos
-                if markcr is not None and self.seq_context:
-                    ctx_ok = np.isin(markcr[gpos], list(self.seq_context))
-                else:
-                    ctx_ok = slice(None)
-                np.add.at(self.depth[cr], gpos[ctx_ok & (is_mod | is_unmod)]
-                          if not isinstance(ctx_ok, slice)
-                          else gpos[is_mod | is_unmod], 1)
-                np.add.at(self.meth[cr], gpos[ctx_ok & is_mod]
-                          if not isinstance(ctx_ok, slice)
-                          else gpos[is_mod], 1)
+                read_ok = n_conv >= self.converted_site
+            else:
+                read_ok = ~(n_conv < self.converted_site
+                            * n_cov.astype(np.float64))
+            site_ok = read_ok[rid]
+            if markcr is not None and self.seq_context:
+                site_ok = site_ok & np.isin(markcr[gpos],
+                                            list(self.seq_context))
+            np.add.at(self.depth[cr], gpos[site_ok & (is_mod | is_unmod)], 1)
+            np.add.at(self.meth[cr], gpos[site_ok & is_mod], 1)
             if self.handle_snp == 0:
                 continue
-            a = np.searchsorted(sites_rc, pos)
-            b2 = np.searchsorted(sites_rc, pos2)
-            offs = sites_rc[a:b2] - pos
-            if len(offs) == 0:
-                continue
-            bases = sb[offs]
+            gpos, bases, rid, _ = self._batch_sites(
+                sites_rc, pos, lens, allseq, seq0)
             is_mod = lut_mod_rc[bases]
             is_unmod = lut_unmod_rc[bases]
-            gpos = offs + pos
+            site_ok = read_ok[rid]
             if markcr is not None and self.seq_context:
-                ctx_ok = np.isin(markcr[gpos], list(self.seq_context))
-                np.add.at(self.depth_ct[cr], gpos[ctx_ok & (is_mod | is_unmod)], 1)
-                np.add.at(self.meth_ct[cr], gpos[ctx_ok & is_mod], 1)
-            else:
-                np.add.at(self.depth_ct[cr], gpos[is_mod | is_unmod], 1)
-                np.add.at(self.meth_ct[cr], gpos[is_mod], 1)
+                site_ok = site_ok & np.isin(markcr[gpos],
+                                            list(self.seq_context))
+            np.add.at(self.depth_ct[cr], gpos[site_ok & (is_mod | is_unmod)], 1)
+            np.add.at(self.meth_ct[cr], gpos[site_ok & is_mod], 1)
 
     def _add_file_slow(self, path: str):
         disp(f"Load Alignment: {path}")
