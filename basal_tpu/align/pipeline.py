@@ -46,14 +46,34 @@ def _inline_tail_enabled() -> bool:
     return os.environ.get("BASAL_TPU_HOST_EVAL", "auto") != "0"
 
 
+def _cpu_backend() -> bool:
+    """True when jax is pinned to the CPU backend (jax.config or
+    JAX_PLATFORMS) — checked WITHOUT initializing a backend, so host-only
+    runs never claim (or hang on) an accelerator tunnel."""
+    import os
+    try:
+        import jax
+        p = jax.config.jax_platforms
+    except Exception:
+        return False
+    return p == "cpu" or (not p and os.environ.get("JAX_PLATFORMS") == "cpu")
+
+
 def host_eval_policy(params: AlignParams, n_cands: int) -> bool:
     """True when this wave should run on the host SIMD evaluator instead of
-    the device (BASAL_TPU_HOST_EVAL=0/1 forces; default adaptive)."""
+    the device (BASAL_TPU_HOST_EVAL=0/1 forces; default adaptive).  With
+    jax pinned to CPU there is no accelerator to win: the fused AVX C++
+    evaluator beats the XLA-CPU kernel on every measured profile (short
+    runs otherwise never flip the adaptive placement — tools/configbench.py
+    measured C:T 0.77x stuck on 3 device waves), so auto routes straight
+    to the host."""
     import os
     mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
     if mode == "0":
         return False
     if mode == "1":
+        return True
+    if _cpu_backend():
         return True
     return n_cands > HOST_EVAL_MIN
 
@@ -363,11 +383,19 @@ class SingleEndAligner:
         sel = (np.arange(ng) if eff >= 99
                else np.flatnonzero(groups[:, 2] < eff))
         n1c = int(groups[sel, 6].sum())
-        if total and self.p.gap > 0 and self._host_eval_policy(int(total)):
-            # gapped + host placement: no bulk wave at all — one replay
-            # evaluates every candidate at visit time (gap_align_ev's lazy
+        if total and self.p.gap > 0 and _inline_tail_enabled():
+            # gapped: no bulk wave at all — one replay evaluates every
+            # candidate at visit time (gap_align_ev's lazy
             # MismatchPattern0/1 under the scan's snp_thres aborts, like
-            # the reference's per-candidate GapAlign, align.cpp:348-410)
+            # the reference's per-candidate GapAlign, align.cpp:348-410).
+            # This is the default for ANY volume in auto mode: the gapped
+            # device wave downloads K_POS i16 position lists per candidate
+            # per shifted alignment and expands them to i32 on the host —
+            # measured 3x slower than the oracle on the random profile,
+            # while visit-time eval is 2.4x ahead on the repeat profile
+            # (tools/configbench.py / tools/gapbench.py).  BASAL_TPU_
+            # HOST_EVAL=0 still forces the device ladder (XLA or pallas-gap
+            # kernel).
             self.total_candidates += int(total)
             self.stage["cand_visit"] += int(total)
             self.stage["waves_visit"] += 1

@@ -76,8 +76,36 @@ def get_lib():
     lib.bt_build_seed_index.restype = ctypes.c_int64
     lib.bt_build_groups_mt.restype = ctypes.c_int64
     lib.bt_scan_fastq.restype = ctypes.c_int64
+    lib.bt_sam_to_bam.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def sam_records_to_bam(text: bytes, ref_names):
+    """Encode '\\n'-separated SAM record lines (no header) into BAM record
+    bytes via the C encoder (engine.cpp:bt_sam_to_bam).  Returns None when
+    the native engine is unavailable or the chunk contains something the C
+    encoder punts on (float aux, >64 cigar ops) — caller falls back to the
+    Python encoder."""
+    lib = get_lib()
+    if lib is None or not text:
+        return None if lib is None else b""
+    import numpy as np
+    names = b"".join(n.encode("latin1") for n in ref_names)
+    off = np.zeros(len(ref_names) + 1, np.int64)
+    np.cumsum([len(n.encode("latin1")) for n in ref_names], out=off[1:])
+    tb = np.frombuffer(text, np.uint8)
+    nb = (np.frombuffer(names, np.uint8) if names
+          else np.zeros(1, np.uint8))
+    out = np.empty(2 * len(text) + 4096, np.uint8)
+    w = lib.bt_sam_to_bam(
+        _p(tb, ctypes.c_uint8), ctypes.c_int64(tb.size),
+        _p(nb, ctypes.c_uint8), _p(off, ctypes.c_int64),
+        ctypes.c_int32(len(ref_names)),
+        _p(out, ctypes.c_uint8), ctypes.c_int64(out.size))
+    if w < 0:
+        return None
+    return out[:int(w)].tobytes()
 
 
 def native_encode(params, chars, map_len, W, n_threads=0, seq_off=None,

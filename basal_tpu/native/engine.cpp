@@ -2222,3 +2222,217 @@ extern "C" i64 bt_build_groups_mt(
     *out_ngroups = ng;
     return flat;
 }
+
+// ---------------------------------------------------------------------------
+// SAM -> BAM record encoder (toolkit/bamio.py:encode_bam_record twin).
+// The reference pipes SAM text to a samtools child for -o *.bam
+// (main.cpp:504-513); our in-process writer encoded records in Python at
+// ~45 us/record — this C twin encodes the whole chunk in one pass.
+// Returns bytes written into out, -1 if out_cap would overflow, -2 on a
+// malformed record (caller falls back to the Python encoder for the chunk).
+
+namespace {
+
+inline i32 bam_reg2bin(i64 beg, i64 end) {
+    --end;
+    if (beg >> 14 == end >> 14) return (i32)(((1 << 15) - 1) / 7 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (i32)(((1 << 12) - 1) / 7 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (i32)(((1 << 9) - 1) / 7 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (i32)(((1 << 6) - 1) / 7 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (i32)(((1 << 3) - 1) / 7 + (beg >> 26));
+    return 0;
+}
+
+struct RefTab {
+    const u8* names;      // concatenated name bytes
+    const i64* off;       // [n+1] offsets into names
+    i32 n;
+    i32 find(const u8* s, i64 len) const {
+        for (i32 i = 0; i < n; ++i)
+            if (off[i + 1] - off[i] == len
+                && !memcmp(names + off[i], s, (size_t)len))
+                return i;
+        return -1;
+    }
+};
+
+}  // namespace
+
+extern "C" i64 bt_sam_to_bam(
+    const u8* text, i64 n,
+    const u8* ref_names, const i64* name_off, i32 n_refs,
+    u8* out, i64 out_cap)
+{
+    // "=ACMGRSVTWYHKDBN" (+ lowercase) -> 0..15, everything else 15
+    // (bamio._NT16_CODE); "MIDNSHP=X" -> 0..8 (bamio._CIGAR_CODE)
+    struct Tabs {
+        i8 nt16[256];
+        i8 cig[256];
+        Tabs() {
+            memset(nt16, 15, sizeof nt16);
+            const char* s = "=ACMGRSVTWYHKDBN";
+            for (int i = 0; i < 16; ++i) {
+                nt16[(u8)s[i]] = (i8)i;
+                nt16[(u8)(s[i] | 32)] = (i8)i;  // lowercase letters
+            }
+            nt16[(u8)'='] = 0;                  // '=' | 32 is '=' anyway
+            memset(cig, -1, sizeof cig);
+            const char* c = "MIDNSHP=X";
+            for (int i = 0; i < 9; ++i)
+                cig[(u8)c[i]] = (i8)i;
+        }
+    };
+    static const Tabs T;
+    const i8* NT16 = T.nt16;
+    const i8* CIG = T.cig;
+    RefTab refs{ref_names, name_off, n_refs};
+    i64 p = 0, w = 0;
+    const u8* f[64];   // field starts
+    i64 fl[64];        // field lengths
+    while (p < n) {
+        i64 eol = p;
+        while (eol < n && text[eol] != '\n') ++eol;
+        i64 len = eol - p;
+        if (len == 0) { p = eol + 1; continue; }
+        // split fields
+        int nf = 0;
+        i64 a = p;
+        for (i64 i = p; i <= eol && nf < 64; ++i) {
+            if (i == eol || text[i] == '\t') {
+                f[nf] = text + a;
+                fl[nf] = i - a;
+                ++nf;
+                a = i + 1;
+            }
+        }
+        if (nf < 11) return -2;
+        auto atoi_f = [&](int k, bool* ok) -> i64 {
+            const u8* s = f[k];
+            i64 L = fl[k], v = 0, i = 0;
+            bool neg = false;
+            if (L && (s[0] == '-' || s[0] == '+')) { neg = s[0] == '-'; i = 1; }
+            if (i == L) { *ok = false; return 0; }
+            for (; i < L; ++i) {
+                if (s[i] < '0' || s[i] > '9') { *ok = false; return 0; }
+                v = v * 10 + (s[i] - '0');
+            }
+            *ok = true;
+            return neg ? -v : v;
+        };
+        bool ok = true;
+        i64 flag = atoi_f(1, &ok); if (!ok) return -2;
+        i64 pos = atoi_f(3, &ok) - 1; if (!ok) return -2;
+        i64 mapq = atoi_f(4, &ok); if (!ok) return -2;
+        i64 pnext = atoi_f(7, &ok) - 1; if (!ok) return -2;
+        i64 tlen = atoi_f(8, &ok); if (!ok) return -2;
+        i32 refid = (fl[2] == 1 && f[2][0] == '*')
+            ? -1 : refs.find(f[2], fl[2]);
+        i32 nrefid;
+        if (fl[6] == 1 && f[6][0] == '=') nrefid = refid;
+        else if (fl[6] == 1 && f[6][0] == '*') nrefid = -1;
+        else nrefid = refs.find(f[6], fl[6]);
+        // cigar
+        u32 cig[64];
+        int ncig = 0;
+        i64 span = 0;
+        if (!(fl[5] == 1 && f[5][0] == '*')) {
+            u32 num = 0;
+            for (i64 i = 0; i < fl[5]; ++i) {
+                u8 c = f[5][i];
+                if (c >= '0' && c <= '9') { num = num * 10 + (c - '0'); continue; }
+                i8 code = CIG[c];
+                if (code < 0 || ncig >= 64) return -2;
+                cig[ncig++] = (num << 4) | (u32)code;
+                // M D N = X consume the reference
+                if (code == 0 || code == 2 || code == 3 || code == 7
+                    || code == 8)
+                    span += num;
+                num = 0;
+            }
+        }
+        i64 l_seq = (fl[9] == 1 && f[9][0] == '*') ? 0 : fl[9];
+        i64 end = ncig ? pos + span : pos + 1;
+        i32 bin = bam_reg2bin(pos >= 0 ? pos : 0, end > pos ? end : pos + 1);
+        i64 name_len = fl[0] + 1;
+        // fixed 32B + name + cigar + seq/2 + qual + generous aux bound
+        i64 need = 36 + name_len + 4 * ncig + (l_seq + 1) / 2 + l_seq;
+        for (int k = 11; k < nf; ++k) need += fl[k] + 8;
+        if (w + need > out_cap) return -1;
+        u8* rec = out + w + 4;          // block_size backpatched below
+        u8* q = rec;
+        auto put_i32 = [&](i32 v) { memcpy(q, &v, 4); q += 4; };
+        put_i32(refid);
+        put_i32((i32)pos);
+        *q++ = (u8)name_len;
+        *q++ = (u8)mapq;
+        // BAM fixed layout: refID,pos,l_read_name,mapq,bin,n_cigar,flag,
+        // l_seq,next_refID,next_pos,tlen (bin/n_cigar/flag are u16)
+        auto put_u16 = [&](u32 v) {
+            q[0] = (u8)(v & 0xFF); q[1] = (u8)(v >> 8); q += 2;
+        };
+        put_u16((u32)bin);
+        put_u16((u32)ncig);
+        put_u16((u32)flag);
+        put_i32((i32)l_seq);
+        put_i32(nrefid);
+        put_i32((i32)pnext);
+        put_i32((i32)tlen);
+        memcpy(q, f[0], fl[0]); q += fl[0];
+        *q++ = 0;
+        memcpy(q, cig, 4 * (size_t)ncig); q += 4 * ncig;
+        for (i64 i = 0; i + 1 < l_seq; i += 2)
+            *q++ = (u8)((NT16[f[9][i]] << 4) | NT16[f[9][i + 1]]);
+        if (l_seq & 1)
+            *q++ = (u8)(NT16[f[9][l_seq - 1]] << 4);
+        bool star_q = (fl[10] == 1 && f[10][0] == '*');
+        if (star_q || l_seq == 0) {
+            memset(q, 0xff, (size_t)l_seq); q += l_seq;
+        } else {
+            if (fl[10] != l_seq) return -2;
+            for (i64 i = 0; i < l_seq; ++i) {
+                int v = (int)f[10][i] - 33;
+                if (v < 0) v = 0;
+                if (v > 93) v = 93;
+                *q++ = (u8)v;
+            }
+        }
+        for (int k = 11; k < nf; ++k) {
+            // tag:typ:val
+            if (fl[k] < 5 || f[k][2] != ':' || f[k][4] != ':') return -2;
+            u8 typ = f[k][3];
+            const u8* val = f[k] + 5;
+            i64 vl = fl[k] - 5;
+            *q++ = f[k][0]; *q++ = f[k][1];
+            if (typ == 'i') {
+                i64 v = 0, i = 0; bool neg = false;
+                if (vl && (val[0] == '-' || val[0] == '+')) {
+                    neg = val[0] == '-'; i = 1;
+                }
+                if (i == vl) return -2;
+                for (; i < vl; ++i) {
+                    if (val[i] < '0' || val[i] > '9') return -2;
+                    v = v * 10 + (val[i] - '0');
+                }
+                if (neg) v = -v;
+                *q++ = 'i';
+                i32 v32 = (i32)v;
+                memcpy(q, &v32, 4); q += 4;
+            } else if (typ == 'A') {
+                *q++ = 'A';
+                *q++ = vl ? val[0] : 0;
+            } else if (typ == 'f') {
+                // float aux never produced by the aligner; punt to Python
+                return -2;
+            } else {  // Z and everything else passes through as Z
+                *q++ = 'Z';
+                memcpy(q, val, (size_t)vl); q += vl;
+                *q++ = 0;
+            }
+        }
+        i32 bs = (i32)(q - rec);
+        memcpy(out + w, &bs, 4);
+        w += 4 + bs;
+        p = eol + 1;
+    }
+    return w;
+}

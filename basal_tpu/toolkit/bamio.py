@@ -24,6 +24,10 @@ _CIGAR_OPS = "MIDNSHP=X"
 _CIGAR_CODE = {c: i for i, c in enumerate(_CIGAR_OPS)}
 _NT16_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
 _NT16_CODE.update({c.lower(): i for i, c in enumerate("=acmgrsvtwyhkdbn")})
+# byte translate tables so encode_bam_record packs seq/qual without a
+# per-base Python loop (the loop cost 5-9s per 60k-record PE BAM)
+_NT16_TRANS = bytes(_NT16_CODE.get(chr(i), 15) for i in range(256))
+_QUAL_TRANS = bytes(min(max(i - 33, 0), 93) for i in range(256))
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -159,18 +163,17 @@ def encode_bam_record(fields: List[str], ref_ids: dict) -> bytes:
     rec += name_b
     for n, op in cig:
         rec += struct.pack("<I", (n << 4) | _CIGAR_CODE[op])
-    b = bytearray((l_seq + 1) // 2)
-    for i, c in enumerate(seq if seq != "*" else ""):
-        code = _NT16_CODE.get(c, 15)
-        if i % 2 == 0:
-            b[i // 2] = code << 4
-        else:
-            b[i // 2] |= code
-    rec += b
+    if l_seq:
+        codes = seq.encode("latin1").translate(_NT16_TRANS)
+        if l_seq % 2:
+            codes += b"\x00"
+        import numpy as _np
+        cb = _np.frombuffer(codes, _np.uint8)
+        rec += ((cb[0::2] << 4) | cb[1::2]).astype(_np.uint8).tobytes()
     if qual == "*" or seq == "*":
         rec += b"\xff" * l_seq
     else:
-        rec += bytes((min(ord(q) - 33, 93) for q in qual))
+        rec += qual.encode("latin1").translate(_QUAL_TRANS)
     for f in fields[11:]:
         tag, typ, val = f.split(":", 2)
         rec += encode_aux(tag, typ, val)
@@ -191,7 +194,8 @@ class BamWriter:
         self.refs: List[tuple] = []
         self.ref_ids: dict = {}
         self.header_done = False
-        self._tail = ""
+        self._tail = b""
+        self._native_ok = True   # flips off after one C-encoder punt
 
     def __enter__(self):
         return self
@@ -200,12 +204,34 @@ class BamWriter:
         self.close()
 
     def write(self, text):
-        if isinstance(text, bytes):  # pipelines emit bytes since round 2
-            text = text.decode("latin1")
+        if isinstance(text, str):
+            text = text.encode("latin1")
         data = self._tail + text
-        lines = data.split("\n")
-        self._tail = lines.pop()
-        for line in lines:
+        cut = data.rfind(b"\n")
+        if cut < 0:
+            self._tail = data
+            return
+        self._tail = data[cut + 1:]
+        chunk = data[:cut + 1]
+        while not self.header_done and chunk.startswith(b"@"):
+            eol = chunk.index(b"\n")
+            self._line(chunk[:eol].decode("latin1"))
+            chunk = chunk[eol + 1:]
+        if not chunk:
+            return
+        if self._native_ok and b"\n@" not in chunk \
+                and not chunk.startswith(b"@"):
+            # record-only chunk: one C-encoder pass (engine.cpp
+            # bt_sam_to_bam, ~20x the per-line Python encoder)
+            if not self.header_done:
+                self._emit_header()
+            from ..native import sam_records_to_bam
+            enc = sam_records_to_bam(chunk, [n for n, _ in self.refs])
+            if enc is not None:
+                self.bgzf.write(enc)
+                return
+            self._native_ok = False
+        for line in chunk.decode("latin1").split("\n"):
             self._line(line)
 
     def _line(self, line: str):
@@ -236,8 +262,8 @@ class BamWriter:
 
     def close(self):
         if self._tail:
-            self._line(self._tail)
-            self._tail = ""
+            self._line(self._tail.decode("latin1"))
+            self._tail = b""
         if not self.header_done:
             self._emit_header()
         self.bgzf.close()

@@ -188,3 +188,25 @@ def test_host_eval_path(tmp_path, rng):
     finally:
         del os.environ["BASAL_TPU_HOST_EVAL"]
     assert norm_sam(ours) == norm_sam((tmp_path / "oracle.sam").read_text())
+
+
+def test_device_eval_path(tmp_path, rng):
+    """BASAL_TPU_HOST_EVAL=0 forces every wave through the device (XLA)
+    extend kernel — the accelerator differential path, exercised explicitly
+    now that auto mode routes to the host evaluator on a CPU backend."""
+    import os
+    seqs = [("chrD", random_genome(rng, 6000))]
+    make_ref(tmp_path / "ref.fa", seqs)
+    reads = convert_reads(rng, seqs[0][1], 60, 90, "A:G", rate=0.5,
+                          sub_rate=0.01, revcomp_frac=0.3)
+    make_fastq(tmp_path / "reads.fq", reads)
+    base = ["-a", "reads.fq", "-d", "ref.fa", "-M", "A:G",
+            "-V", "0", "-S", "29", "-u"]
+    r = run_oracle(base + ["-o", "oracle.sam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    os.environ["BASAL_TPU_HOST_EVAL"] = "0"
+    try:
+        ours = run_ours(base, tmp_path)
+    finally:
+        del os.environ["BASAL_TPU_HOST_EVAL"]
+    assert norm_sam(ours) == norm_sam((tmp_path / "oracle.sam").read_text())
