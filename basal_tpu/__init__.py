@@ -21,12 +21,18 @@ def _tune_malloc():
     page faults + kernel zeroing for hundreds of MB; glibc's *dynamic*
     threshold adapts only slowly (measured on the bench host: passes warm
     34k -> 82k -> 156k reads/s as the threshold creeps up).  Pinning
-    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD at 256 MB makes the first pass run at
-    steady-state speed (147k cold / 265k warm on the same workload).
-    Buffers >256 MB (repeat-profile candidate tails) still mmap, so they
-    are returned to the OS.  BASAL_TPU_NO_MALLOC_TUNE=1 disables; explicit
-    MALLOC_*_THRESHOLD_ env vars take precedence (glibc reads them first
-    and mallopt here would override, so we skip if either is set)."""
+    M_MMAP_THRESHOLD/M_TRIM_THRESHOLD at 32 MB — glibc's own
+    DEFAULT_MMAP_THRESHOLD_MAX, i.e. the dynamic steady state, reached
+    instantly instead of over ~600k reads — makes the first pass run at
+    steady-state speed.  Buffers >= 32 MB (group tables, repeat-profile
+    candidate tails) still mmap and return to the OS each batch.  A 256 MB
+    pin was tried first and measured FASTER on single-config runs (265k
+    vs 224k warm) but fragments the main arena in long mixed-workload
+    processes — tools/configbench.py degraded 4x by its fifth config —
+    so the conservative pin stands.  BASAL_TPU_NO_MALLOC_TUNE=1 disables;
+    explicit MALLOC_*_THRESHOLD_ env vars take precedence (glibc reads
+    them first and mallopt here would override, so we skip if either is
+    set)."""
     import ctypes
     import os
     if os.environ.get("BASAL_TPU_NO_MALLOC_TUNE") == "1":
@@ -37,7 +43,7 @@ def _tune_malloc():
     try:
         libc = ctypes.CDLL(None, use_errno=True)
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        thr = 256 << 20
+        thr = 32 << 20
         libc.mallopt(ctypes.c_int(M_MMAP_THRESHOLD), ctypes.c_int(thr))
         libc.mallopt(ctypes.c_int(M_TRIM_THRESHOLD), ctypes.c_int(thr))
     except Exception:
