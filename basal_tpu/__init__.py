@@ -51,3 +51,43 @@ def _tune_malloc():
 
 
 _tune_malloc()
+
+
+class malloc_window:
+    """Raise the malloc mmap/trim thresholds to 256 MB for the duration of
+    ONE aligner run, then trim the arena and restore the conservative
+    32 MB pin.  Within a single run the allocation sizes are repetitive
+    (one config), so the big per-batch buffers (group tables,
+    repeat-profile candidate ladders — up to hundreds of MB) recycle in
+    the heap without the cross-config fragmentation that made a permanent
+    256 MB pin degrade mixed-workload processes (see _tune_malloc);
+    malloc_trim at exit returns the arena to the OS between runs.
+    No-op when the tune is disabled."""
+
+    def __enter__(self):
+        import ctypes
+        import os
+        self._on = (os.environ.get("BASAL_TPU_NO_MALLOC_TUNE") != "1"
+                    and "MALLOC_MMAP_THRESHOLD_" not in os.environ
+                    and "MALLOC_TRIM_THRESHOLD_" not in os.environ)
+        if not self._on:
+            return self
+        try:
+            self._libc = ctypes.CDLL(None)
+            for opt in (-1, -3):  # M_TRIM_THRESHOLD, M_MMAP_THRESHOLD
+                self._libc.mallopt(ctypes.c_int(opt),
+                                   ctypes.c_int(256 << 20))
+        except Exception:
+            self._on = False
+        return self
+
+    def __exit__(self, *a):
+        if not self._on:
+            return
+        try:
+            for opt in (-1, -3):
+                self._libc.mallopt(ctypes.c_int(opt),
+                                   ctypes.c_int(32 << 20))
+            self._libc.malloc_trim(0)
+        except Exception:
+            pass

@@ -761,9 +761,11 @@ def run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     if prof_dir:
         import jax.profiler as _prof
         _prof.start_trace(prof_dir)
+    from .. import malloc_window
     try:
-        return _run_single_end(params, ref_path, reads_path, out_fh,
-                               command_line, log, index_factory, timings)
+        with malloc_window():
+            return _run_single_end(params, ref_path, reads_path, out_fh,
+                                   command_line, log, index_factory, timings)
     finally:
         if prof_dir:
             import jax.profiler as _prof

@@ -599,6 +599,15 @@ def run_pair_end(params: AlignParams, ref_path: str, reads_a_path: str,
                  reads_b_path: str, out_fh=None,
                  command_line: str = "basal_tpu", log=lambda *a: None,
                  index_factory=None, timings=None):
+    from .. import malloc_window
+    with malloc_window():
+        return _run_pair_end(params, ref_path, reads_a_path, reads_b_path,
+                             out_fh, command_line, log, index_factory,
+                             timings)
+
+
+def _run_pair_end(params, ref_path, reads_a_path, reads_b_path, out_fh,
+                  command_line, log, index_factory, timings):
     t0 = time.time()
     ref = load_reference(ref_path, params)
     log(f"{ref.total_num} reference seqs loaded, total size {ref.sum_length} bp.")
