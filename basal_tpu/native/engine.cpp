@@ -2297,8 +2297,9 @@ extern "C" i64 bt_sam_to_bam(
         // split fields
         int nf = 0;
         i64 a = p;
-        for (i64 i = p; i <= eol && nf < 64; ++i) {
+        for (i64 i = p; i <= eol; ++i) {
             if (i == eol || text[i] == '\t') {
+                if (nf >= 64) return -2;  // >64 fields: Python fallback
                 f[nf] = text + a;
                 fl[nf] = i - a;
                 ++nf;
@@ -2311,7 +2312,7 @@ extern "C" i64 bt_sam_to_bam(
             i64 L = fl[k], v = 0, i = 0;
             bool neg = false;
             if (L && (s[0] == '-' || s[0] == '+')) { neg = s[0] == '-'; i = 1; }
-            if (i == L) { *ok = false; return 0; }
+            if (i == L || L - i > 18) { *ok = false; return 0; }
             for (; i < L; ++i) {
                 if (s[i] < '0' || s[i] > '9') { *ok = false; return 0; }
                 v = v * 10 + (s[i] - '0');
@@ -2351,6 +2352,14 @@ extern "C" i64 bt_sam_to_bam(
             }
         }
         i64 l_seq = (fl[9] == 1 && f[9][0] == '*') ? 0 : fl[9];
+        // narrowing guards: the Python twin (struct.pack) RAISES on these,
+        // so the native path must punt (-2) rather than silently truncate
+        if (fl[0] + 1 > 255 || mapq < 0 || mapq > 255
+            || flag < 0 || flag > 65535
+            || pos < INT32_MIN || pos > INT32_MAX
+            || pnext < INT32_MIN || pnext > INT32_MAX
+            || tlen < INT32_MIN || tlen > INT32_MAX)
+            return -2;
         i64 end = ncig ? pos + span : pos + 1;
         i32 bin = bam_reg2bin(pos >= 0 ? pos : 0, end > pos ? end : pos + 1);
         i64 name_len = fl[0] + 1;
@@ -2408,12 +2417,13 @@ extern "C" i64 bt_sam_to_bam(
                 if (vl && (val[0] == '-' || val[0] == '+')) {
                     neg = val[0] == '-'; i = 1;
                 }
-                if (i == vl) return -2;
+                if (i == vl || vl - i > 18) return -2;
                 for (; i < vl; ++i) {
                     if (val[i] < '0' || val[i] > '9') return -2;
                     v = v * 10 + (val[i] - '0');
                 }
                 if (neg) v = -v;
+                if (v < INT32_MIN || v > INT32_MAX) return -2;
                 *q++ = 'i';
                 i32 v32 = (i32)v;
                 memcpy(q, &v32, 4); q += 4;

@@ -352,7 +352,14 @@ class RawFastqReader:
 
     def close(self):
         if self._fut is not None:
-            self._fut.result()   # let the in-flight read finish first
+            try:
+                # wait for the in-flight read, but swallow its errors: the
+                # prefetch is speculative — a bad chunk PAST the consumed
+                # window (e.g. a truncated .fq.gz tail beyond -E) must not
+                # fail a run that never needed it
+                self._fut.result()
+            except Exception:
+                pass
             self._fut = None
         if self._ex is not None:
             self._ex.shutdown()

@@ -170,14 +170,21 @@ def main():
     # 50).  Probe it in a disposable subprocess with a hard timeout; on
     # failure fall back to jax-cpu so the bench still measures the
     # (placement-adaptive) host path and reports a metric.
+    # (the chip CLAIM happens at the first device fetch, not at backend
+    # init — a healthy tunnel answers jax.devices() in seconds, an outage
+    # hangs it for 15+ minutes, so a 240s probe cannot misclassify a
+    # cold-but-healthy tunnel)
     platform = "tpu"
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=180, capture_output=True)
+             "import jax; d = jax.devices()[0]; print(d.platform, d)"],
+            timeout=240, capture_output=True)
         if r.returncode != 0:
             raise RuntimeError(r.stderr.decode()[-200:])
+        probed = r.stdout.decode().strip().lower()
+        if "tpu" not in probed and "axon" not in probed:
+            raise RuntimeError(f"backend came up as {probed!r}, not TPU")
     except Exception as e:
         log(f"TPU probe failed ({type(e).__name__}); falling back to jax-cpu")
         platform = "cpu-fallback"

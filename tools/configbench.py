@@ -159,7 +159,7 @@ for name, rule, flags, ext in CONFIGS:
     orc_out = work / f"orc_{tag}.sam"
     ratios = []
     t_our = t_orc = None
-    for rep in range(3):
+    for rep in range(4):
         t_our = run_ours(args, ours_out)
         t_orc = run_orc(args, orc_out)
         if rep:                      # rep 0 is warmup (jit/page cache)
