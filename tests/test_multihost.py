@@ -125,6 +125,36 @@ def test_two_process_routed_equals_single(tmp_path, rng):
     assert st0["mesh"]["candidates"] > 1000
 
 
+def test_three_process_routed_equals_single(tmp_path, rng):
+    """3 processes: k-mer space split into three UNEVEN ranges (4^16 not
+    divisible by 3) and read windows 900/900/899 — exercises partition
+    rounding, multi-peer routing rounds (each query may hit two foreign
+    shards), and a drain where two peers finish before the last."""
+    n_reads = 2699
+    _fixture(tmp_path, rng, n_reads, genome_bp=150_000)
+    params_kw = dict(conversion="A:G", randseed=11, batch_reads=450,
+                     out_unmap=True, verbose_level=0)
+    cfg = {"params": params_kw, "ref": str(tmp_path / "ref.fa"),
+           "reads": str(tmp_path / "reads.fq"), "n_reads": n_reads,
+           "mesh_check": False, "local_devices": 1}
+    (tmp_path / "mh_cfg.json").write_text(json.dumps(cfg))
+
+    _spawn(3, _free_port(), tmp_path)
+
+    merged = "".join((tmp_path / f"out_p{i}.sam").read_text()
+                     for i in range(3))
+    single = _single_process_sam(tmp_path, params_kw)
+    assert merged == single
+
+    stats = [json.loads((tmp_path / f"stats_p{i}.json").read_text())
+             for i in range(3)]
+    total_k = sum(s["local_shard_kmers"] for s in stats)
+    for s in stats:
+        assert 0 < s["local_shard_kmers"] < total_k
+    assert [s["reads"] for s in stats] == [900, 900, 899]
+    assert sum(s["exchanged_queries"] for s in stats) > 0
+
+
 def test_two_process_pair_end_equals_single(tmp_path, rng):
     """PE across 2 processes: both mates' per-batch lookups ride the routed
     index (two ensure_batch rounds per batch); merged SAM == single-process
