@@ -199,6 +199,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     log(f"jax devices: {jax.devices()}")
+    # batch size: 25k keeps tunnel uploads small; on the cpu fallback the
+    # host path prefers the reference's own 50k batches (+20% measured)
+    global BATCH
+    if platform == "cpu-fallback":
+        BATCH = 50_000
     p = AlignParams(conversion="A:G", randseed=1, verbose_level=0)
     t0 = time.time()
     ref = load_reference(str(ref_fa), p)
