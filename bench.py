@@ -241,12 +241,12 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
     tail = ThreadPoolExecutor(1)
     n_rest = 0
-    # five steady passes over the same reads (host-neighbor steal storms
+    # seven steady passes over the same reads (host-neighbor steal storms
     # swing both sides 2-3x between windows; the median pair ratio over
     # five windows is robust); keep the first pass's SAM output
     rates = []
     paired_orps = []
-    for rep in range(5):
+    for rep in range(7):  # 7 same-window pairs: stabler median under steal storms
         if rep:
             rd.close()
             rd = open_reads(str(reads_fq), p)
