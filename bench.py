@@ -202,8 +202,8 @@ def main():
     # batch size: 25k keeps tunnel uploads small; on the cpu fallback the
     # host path prefers the reference's own 50k batches (+20% measured)
     global BATCH
-    if platform == "cpu-fallback":
-        BATCH = 50_000
+    if platform == "cpu-fallback" and PROFILE == "random":
+        BATCH = 50_000  # repeat profile keeps 25k (bounded candidate tables)
     p = AlignParams(conversion="A:G", randseed=1, verbose_level=0)
     t0 = time.time()
     ref = load_reference(str(ref_fa), p)
