@@ -11,19 +11,25 @@
 # point COORD at host 0 (jax.distributed semantics are identical).
 #
 # Usage: examples/run-multihost.sh REF.fa READS.fq N_READS [NPROCS] [OUT]
+#        READS2=mate2.fq examples/run-multihost.sh ...   # paired-end
+#        RULE=C:T examples/run-multihost.sh ...          # conversion rule
 set -euo pipefail
 REF=$1; READS=$2; NREADS=$3; NPROCS=${4:-2}; OUT=${5:-multihost}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=$(mktemp -d)
 PORT=$(python -c "import socket; s=socket.socket(); s.bind(('localhost',0)); print(s.getsockname()[1]); s.close()")
 
-python - "$REF" "$READS" "$NREADS" "$WORK" <<'EOF'
+python - "$REF" "$READS" "$NREADS" "$WORK" "${READS2:-}" "${RULE:-A:G}" <<'EOF'
 import json, sys
-ref, reads, n, work = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
-cfg = {"params": {"conversion": "A:G", "randseed": 1, "out_unmap": True,
+ref, reads, n, work, reads2, rule = (sys.argv[1], sys.argv[2],
+                                     int(sys.argv[3]), sys.argv[4],
+                                     sys.argv[5], sys.argv[6])
+cfg = {"params": {"conversion": rule, "randseed": 1, "out_unmap": True,
                   "verbose_level": 0},
        "ref": ref, "reads": reads, "n_reads": n,
        "mesh_check": False, "local_devices": 1}
+if reads2:
+    cfg["reads_b"] = reads2
 open(f"{work}/mh_cfg.json", "w").write(json.dumps(cfg))
 EOF
 
