@@ -31,6 +31,15 @@ def test_fuzz_rrbs_config(tmp_path, case_id):
         reads += [(n + "_rc", s.translate(comp)[::-1]) for n, s in
                   rrbs_reads(rng, g, fz.randrange(5, 20), readlen=readlen,
                              rule=rule)]
+    # Keep reads clear of the final CCGG fragment: a read extending past
+    # the last site's end makes the reference's CCGG_seglen read one past
+    # its sites vector (refbase.cpp:477 evaluates sites[right] BEFORE the
+    # right<size() bound) — its emitted ZL is then undefined heap bytes
+    # (observed: ZL:i:1717 for a 6396bp genome).  We clamp (documented
+    # divergence, docs/COVERAGE.md), so such reads cannot byte-compare.
+    last = g.rfind("CCGG")
+    reads = [(n, s) for n, s in reads
+             if int(n.split("_p")[1].split("_")[0]) + readlen <= last]
     make_fastq(tmp_path / "reads.fq", reads)
     flags = ["-S", str(fz.randrange(1, 1 << 20)), "-u",
              "-D", "C-CGG", "-n", fz.choice("011")]
