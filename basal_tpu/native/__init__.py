@@ -77,8 +77,43 @@ def get_lib():
     lib.bt_build_groups_mt.restype = ctypes.c_int64
     lib.bt_scan_fastq.restype = ctypes.c_int64
     lib.bt_sam_to_bam.restype = ctypes.c_int64
+    lib.bt_bam_to_sam.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def bam_records_to_sam(data: bytes, ref_names):
+    """Decode a raw BAM record stream (after the header/ref blocks) to SAM
+    text bytes via the C decoder (engine.cpp:bt_bam_to_sam).  Returns None
+    when the native engine is unavailable or the stream contains a float
+    aux tag (Python repr formatting) — caller falls back to the Python
+    decoder."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not data:
+        return b""
+    import numpy as np
+    names = b"".join(n.encode("latin1") for n in ref_names)
+    off = np.zeros(len(ref_names) + 1, np.int64)
+    np.cumsum([len(n.encode("latin1")) for n in ref_names], out=off[1:])
+    db = np.frombuffer(data, np.uint8)
+    nb = (np.frombuffer(names, np.uint8) if names
+          else np.zeros(1, np.uint8))
+    cap = 4 * len(data) + 4096
+    while True:
+        out = np.empty(cap, np.uint8)
+        w = lib.bt_bam_to_sam(
+            _p(db, ctypes.c_uint8), ctypes.c_int64(db.size),
+            _p(nb, ctypes.c_uint8), _p(off, ctypes.c_int64),
+            ctypes.c_int32(len(ref_names)),
+            _p(out, ctypes.c_uint8), ctypes.c_int64(out.size))
+        if w == -1:
+            cap *= 2
+            continue
+        if w < 0:
+            return None
+        return out[:int(w)].tobytes()
 
 
 def sam_records_to_bam(text: bytes, ref_names):

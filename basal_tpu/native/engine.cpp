@@ -2446,3 +2446,156 @@ extern "C" i64 bt_sam_to_bam(
     }
     return w;
 }
+
+// ---------------------------------------------------------------------------
+// BAM record stream -> SAM text (toolkit/bamio.py:decode_bam_to_sam twin,
+// exact byte-for-byte output).  The Python decoder costs ~30 us/record
+// (per-base joins); BAM is the toolkit's primary input (avgmod/mergeBAM/
+// bamutil read the aligner's -o *.bam), so the decode rides this C pass.
+// Returns bytes written, -1 if out_cap would overflow, -2 on a float aux
+// (Python repr() formatting is decoder-defined there — caller falls back
+// to the Python decoder for the whole file).
+
+extern "C" i64 bt_bam_to_sam(
+    const u8* data, i64 n,
+    const u8* ref_names, const i64* name_off, i32 n_refs,
+    u8* out, i64 out_cap)
+{
+    static const char NT16S[17] = "=ACMGRSVTWYHKDBN";
+    static const char CIGS[10] = "MIDNSHP=X";
+    i64 p = 0, w = 0;
+    char numbuf[24];
+    auto put = [&](const void* s, i64 len) -> bool {
+        if (w + len > out_cap) return false;
+        memcpy(out + w, s, (size_t)len);
+        w += len;
+        return true;
+    };
+    auto put_int = [&](i64 v) -> bool {
+        int len = snprintf(numbuf, sizeof numbuf, "%lld", (long long)v);
+        return put(numbuf, len);
+    };
+    auto put_ref = [&](i32 rid) -> bool {
+        if (rid < 0 || rid >= n_refs) return put("*", 1);
+        return put(ref_names + name_off[rid],
+                   name_off[rid + 1] - name_off[rid]);
+    };
+    while (p + 4 <= n) {
+        i32 sz;
+        memcpy(&sz, data + p, 4);
+        p += 4;
+        if (sz < 32 || p + sz > n) return -2;
+        const u8* d = data + p;
+        p += sz;
+        i32 refid, pos, l_seq, nrefid, npos, tlen;
+        memcpy(&refid, d, 4);
+        memcpy(&pos, d + 4, 4);
+        u8 l_rn = d[8], mapq = d[9];
+        u32 n_cig = (u32)d[12] | ((u32)d[13] << 8);
+        u32 flag = (u32)d[14] | ((u32)d[15] << 8);
+        memcpy(&l_seq, d + 16, 4);
+        memcpy(&nrefid, d + 20, 4);
+        memcpy(&npos, d + 24, 4);
+        memcpy(&tlen, d + 28, 4);
+        i64 off = 32;
+        // qname \t flag \t rname \t pos+1 \t mapq \t cigar
+        if (!put(d + off, l_rn - 1) || !put("\t", 1)) return -1;
+        off += l_rn;
+        if (!put_int(flag) || !put("\t", 1)) return -1;
+        if (!put_ref(refid) || !put("\t", 1)) return -1;
+        if (!put_int((i64)pos + 1) || !put("\t", 1)) return -1;
+        if (!put_int(mapq) || !put("\t", 1)) return -1;
+        if (n_cig == 0) {
+            if (!put("*", 1)) return -1;
+        } else {
+            for (u32 i = 0; i < n_cig; ++i) {
+                u32 v;
+                memcpy(&v, d + off + 4 * i, 4);
+                if (!put_int(v >> 4)) return -1;
+                if (!put(&CIGS[v & 0xF], 1)) return -1;
+            }
+        }
+        off += 4 * (i64)n_cig;
+        if (!put("\t", 1)) return -1;
+        // rnext \t pnext+1 \t tlen \t seq \t qual
+        if (nrefid == refid && nrefid >= 0) {
+            if (!put("=", 1)) return -1;
+        } else if (!put_ref(nrefid)) {
+            return -1;
+        }
+        if (!put("\t", 1) || !put_int((i64)npos + 1) || !put("\t", 1)
+            || !put_int(tlen) || !put("\t", 1))
+            return -1;
+        if (l_seq == 0) {
+            if (!put("*", 1)) return -1;
+        } else {
+            if (w + l_seq > out_cap) return -1;
+            for (i32 i = 0; i < l_seq; ++i)
+                out[w + i] = NT16S[(d[off + i / 2] >> (i % 2 ? 0 : 4)) & 0xF];
+            w += l_seq;
+        }
+        off += ((i64)l_seq + 1) / 2;
+        if (!put("\t", 1)) return -1;
+        if (l_seq > 0) {
+            bool all_ff = true;
+            for (i32 i = 0; i < l_seq && all_ff; ++i)
+                all_ff = d[off + i] == 0xFF;
+            if (all_ff) {
+                if (!put("*", 1)) return -1;
+            } else {
+                if (w + l_seq > out_cap) return -1;
+                for (i32 i = 0; i < l_seq; ++i)
+                    out[w + i] = (u8)(d[off + i] + 33);
+                w += l_seq;
+            }
+        }
+        // qual is the empty string when l_seq == 0 (Python twin emits an
+        // empty field there)
+        off += l_seq;
+        // aux tags
+        while (off + 3 <= sz) {
+            const u8* t = d + off;
+            u8 typ = t[2];
+            off += 3;
+            char tagbuf[8] = {(char)t[0], (char)t[1], ':', 'i', ':'};
+            i64 val = 0;
+            bool is_int = true;
+            if (typ == 'C') { val = d[off]; off += 1; }
+            else if (typ == 'c') { val = (i8)d[off]; off += 1; }
+            else if (typ == 'S') {
+                val = (u32)d[off] | ((u32)d[off + 1] << 8); off += 2;
+            } else if (typ == 's') {
+                val = (int16_t)((u32)d[off] | ((u32)d[off + 1] << 8));
+                off += 2;
+            } else if (typ == 'I') {
+                u32 v; memcpy(&v, d + off, 4); val = v; off += 4;
+            } else if (typ == 'i') {
+                i32 v; memcpy(&v, d + off, 4); val = v; off += 4;
+            } else if (typ == 'A') {
+                tagbuf[3] = 'A';
+                if (!put("\t", 1) || !put(tagbuf, 5)
+                    || !put(d + off, 1)) return -1;
+                off += 1;
+                is_int = false;
+            } else if (typ == 'Z') {
+                i64 end = off;
+                while (end < sz && d[end] != 0) ++end;
+                tagbuf[3] = 'Z';
+                if (!put("\t", 1) || !put(tagbuf, 5)
+                    || !put(d + off, end - off)) return -1;
+                off = end + 1;
+                is_int = false;
+            } else if (typ == 'f') {
+                return -2;  // Python repr() formatting: punt to Python
+            } else {
+                break;      // unknown aux type: drop the rest (twin does)
+            }
+            if (is_int) {
+                if (!put("\t", 1) || !put(tagbuf, 5) || !put_int(val))
+                    return -1;
+            }
+        }
+        if (!put("\n", 1)) return -1;
+    }
+    return w;
+}

@@ -301,9 +301,13 @@ def read_bgzf(path: str) -> bytes:
 
 
 def decode_bam_to_sam(path: str) -> str:
-    """Decode a BAM file to SAM text (for tests and the toolkit)."""
+    """Decode a BAM file to SAM text (toolkit BAM input + tests).  Records
+    decode through the C twin (engine.cpp:bt_bam_to_sam, ~20x) when the
+    native engine is available; the Python loop below is the golden
+    fallback (and handles float aux, whose repr() the C side punts on)."""
     import io
-    fh = io.BufferedReader(io.BytesIO(read_bgzf(path)))
+    raw = read_bgzf(path)
+    fh = io.BufferedReader(io.BytesIO(raw))
     assert fh.read(4) == b"BAM\x01"
     l_text = struct.unpack("<i", fh.read(4))[0]
     text = fh.read(l_text).decode(errors="replace")
@@ -313,6 +317,11 @@ def decode_bam_to_sam(path: str) -> str:
         ln = struct.unpack("<i", fh.read(4))[0]
         name = fh.read(ln)[:-1].decode()
         refs.append((name, struct.unpack("<i", fh.read(4))[0]))
+    from ..native import bam_records_to_sam
+    body = bam_records_to_sam(raw[fh.tell():], [n for n, _ in refs])
+    if body is not None:
+        head = (text.rstrip("\n") + "\n") if text else ""
+        return head + body.decode("latin1")
     out = [text.rstrip("\n")] if text else []
     nt16 = "=ACMGRSVTWYHKDBN"
     while True:
