@@ -78,8 +78,41 @@ def get_lib():
     lib.bt_scan_fastq.restype = ctypes.c_int64
     lib.bt_sam_to_bam.restype = ctypes.c_int64
     lib.bt_bam_to_sam.restype = ctypes.c_int64
+    lib.bt_bam_reads.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def bam_batch_reads(data: bytes, want: int, maxlen: int):
+    """Bulk-decode up to ``want`` BAM read records into RawBatch-layout
+    buffers via the C decoder.  Returns (nrec, consumed, buf, arrays) or
+    None (native unavailable / 0xFF qual punt -> Python loop)."""
+    lib = get_lib()
+    if lib is None or not data:
+        return None if lib is None else (0, 0, None, None)
+    import numpy as np
+    db = np.frombuffer(data, np.uint8)
+    out = np.empty(3 * len(data) + 4096, np.uint8)
+    noff = np.empty(want, np.int64)
+    nlen = np.empty(want, np.int32)
+    soff = np.empty(want, np.int64)
+    slen = np.empty(want, np.int32)
+    qoff = np.empty(want, np.int64)
+    qlen = np.empty(want, np.int32)
+    consumed = ctypes.c_int64(0)
+    r = lib.bt_bam_reads(
+        _p(db, ctypes.c_uint8), ctypes.c_int64(db.size),
+        ctypes.c_int64(want), ctypes.c_int32(maxlen),
+        _p(out, ctypes.c_uint8), ctypes.c_int64(out.size),
+        _p(noff, ctypes.c_int64), _p(nlen, ctypes.c_int32),
+        _p(soff, ctypes.c_int64), _p(slen, ctypes.c_int32),
+        _p(qoff, ctypes.c_int64), _p(qlen, ctypes.c_int32),
+        ctypes.byref(consumed))
+    r = int(r)
+    if r < 0:
+        return None
+    return (r, int(consumed.value), out,
+            (noff[:r], nlen[:r], soff[:r], slen[:r], qoff[:r], qlen[:r]))
 
 
 def bam_records_to_sam(data: bytes, ref_names):
