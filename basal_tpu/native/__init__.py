@@ -124,10 +124,13 @@ def bam_records_to_sam(data: bytes, ref_names):
     lib = get_lib()
     if lib is None:
         return None
-    if not data:
+    if not len(data):
         return b""
     import numpy as np
-    names = b"".join(n.encode("latin1") for n in ref_names)
+    try:
+        names = b"".join(n.encode("latin1") for n in ref_names)
+    except UnicodeEncodeError:
+        return None  # exotic ref names: Python decoder handles them
     off = np.zeros(len(ref_names) + 1, np.int64)
     np.cumsum([len(n.encode("latin1")) for n in ref_names], out=off[1:])
     db = np.frombuffer(data, np.uint8)

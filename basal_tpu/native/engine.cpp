@@ -2487,6 +2487,7 @@ extern "C" i64 bt_bam_to_sam(
         if (sz < 32 || p + sz > n) return -2;
         const u8* d = data + p;
         p += sz;
+        if (d[8] < 1) return -2;  // l_read_name includes the NUL
         i32 refid, pos, l_seq, nrefid, npos, tlen;
         memcpy(&refid, d, 4);
         memcpy(&pos, d + 4, 4);
@@ -2498,6 +2499,10 @@ extern "C" i64 bt_bam_to_sam(
         memcpy(&npos, d + 24, 4);
         memcpy(&tlen, d + 28, 4);
         i64 off = 32;
+        if (l_seq < 0
+            || 32 + (i64)l_rn + 4 * (i64)n_cig + ((i64)l_seq + 1) / 2
+               + (i64)l_seq > sz)
+            return -2;  // malformed: Python twin fails loudly
         // qname \t flag \t rname \t pos+1 \t mapq \t cigar
         if (!put(d + off, l_rn - 1) || !put("\t", 1)) return -1;
         off += l_rn;
@@ -2511,6 +2516,7 @@ extern "C" i64 bt_bam_to_sam(
             for (u32 i = 0; i < n_cig; ++i) {
                 u32 v;
                 memcpy(&v, d + off + 4 * i, 4);
+                if ((v & 0xF) > 8) return -2;  // twin would IndexError
                 if (!put_int(v >> 4)) return -1;
                 if (!put(&CIGS[v & 0xF], 1)) return -1;
             }
@@ -2544,8 +2550,10 @@ extern "C" i64 bt_bam_to_sam(
                 if (!put("*", 1)) return -1;
             } else {
                 if (w + l_seq > out_cap) return -1;
-                for (i32 i = 0; i < l_seq; ++i)
-                    out[w + i] = (u8)(d[off + i] + 33);
+                for (i32 i = 0; i < l_seq; ++i) {
+                    if (d[off + i] >= 223) return -2;  // chr(q+33) > 255:
+                    out[w + i] = (u8)(d[off + i] + 33); // twin emits wide
+                }                                       // codepoints there
                 w += l_seq;
             }
         }
@@ -2560,6 +2568,11 @@ extern "C" i64 bt_bam_to_sam(
             char tagbuf[8] = {(char)t[0], (char)t[1], ':', 'i', ':'};
             i64 val = 0;
             bool is_int = true;
+            // bound the value bytes (the Python twin raises on short aux)
+            i64 vlen = (typ == 'C' || typ == 'c' || typ == 'A') ? 1
+                       : (typ == 'S' || typ == 's') ? 2
+                       : (typ == 'I' || typ == 'i' || typ == 'f') ? 4 : 0;
+            if (off + vlen > sz) return -2;
             if (typ == 'C') { val = d[off]; off += 1; }
             else if (typ == 'c') { val = (i8)d[off]; off += 1; }
             else if (typ == 'S') {
@@ -2620,13 +2633,19 @@ extern "C" i64 bt_bam_reads(
     while (r < want && p + 4 <= n) {
         i32 sz;
         memcpy(&sz, data + p, 4);
-        if (sz < 32 || p + 4 + sz > n) break;  // partial record: stop
+        if (sz < 32) return -2;                // corrupt: loud Python path
+        if (p + 4 + sz > n) break;             // partial record: stop
         const u8* d = data + p + 4;
         u8 l_rn = d[8];
+        if (l_rn < 1) return -2;
         u32 n_cig = (u32)d[12] | ((u32)d[13] << 8);
         i32 l_seq;
         memcpy(&l_seq, d + 16, 4);
         i64 off = 32;
+        if (l_seq < 0
+            || 32 + (i64)l_rn + 4 * (i64)n_cig + ((i64)l_seq + 1) / 2
+               + (i64)l_seq > sz)
+            return -2;
         i64 keep = l_seq < maxlen ? l_seq : maxlen;
         if (w + (l_rn - 1) + 2 * keep > out_cap) return -1;
         noff[r] = w;
@@ -2643,8 +2662,8 @@ extern "C" i64 bt_bam_reads(
         qoff[r] = w;
         qlen[r] = (i32)keep;
         for (i64 i = 0; i < keep; ++i) {
-            if (d[off + i] == 0xFF) return -2;
-            out[w + i] = (u8)(d[off + i] + 33);
+            if (d[off + i] >= 223) return -2;  // incl. 0xFF no-qual: the
+            out[w + i] = (u8)(d[off + i] + 33); // twin emits chr > 255
         }
         w += keep;
         p += 4 + sz;

@@ -318,10 +318,13 @@ def decode_bam_to_sam(path: str) -> str:
         name = fh.read(ln)[:-1].decode()
         refs.append((name, struct.unpack("<i", fh.read(4))[0]))
     from ..native import bam_records_to_sam
-    body = bam_records_to_sam(raw[fh.tell():], [n for n, _ in refs])
+    body = bam_records_to_sam(memoryview(raw)[fh.tell():],
+                              [n for n, _ in refs])
     if body is not None:
         head = (text.rstrip("\n") + "\n") if text else ""
-        return head + body.decode("latin1")
+        # degenerate no-header no-record file: the Python loop below
+        # returns "\n".join([]) + "\n"
+        return (head + body.decode("latin1")) or "\n"
     out = [text.rstrip("\n")] if text else []
     nt16 = "=ACMGRSVTWYHKDBN"
     while True:

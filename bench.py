@@ -243,7 +243,7 @@ def main():
     n_rest = 0
     # seven steady passes over the same reads (host-neighbor steal storms
     # swing both sides 2-3x between windows; the median pair ratio over
-    # five windows is robust); keep the first pass's SAM output
+    # seven windows is robust); keep the first pass's SAM output
     rates = []
     paired_orps = []
     for rep in range(7):  # 7 same-window pairs: stabler median under steal storms

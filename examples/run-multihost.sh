@@ -40,6 +40,10 @@ for ((p = 0; p < NPROCS; p++)); do
 done
 for pid in "${pids[@]}"; do wait "$pid"; done
 
-cat "$WORK"/out_p*.sam > "${OUT}.sam"
+# numeric order (a glob would sort out_p10 before out_p2)
+: > "${OUT}.sam"
+for ((p = 0; p < NPROCS; p++)); do
+  cat "$WORK/out_p${p}.sam" >> "${OUT}.sam"
+done
 echo "merged ${OUT}.sam ($(grep -vc '^@' "${OUT}.sam") records)" >&2
 rm -rf "$WORK"
