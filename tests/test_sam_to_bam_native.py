@@ -94,3 +94,45 @@ def test_decode_roundtrip(tmp_path):
         # seq normalizes: BAM nt16 canonicalizes to uppercase
         assert gc[9] == wc[9].upper()
         assert gc[10] == wc[10]          # qual byte-exact
+
+
+@pytest.mark.skipif(get_lib() is None, reason="native engine unavailable")
+def test_high_qual_bytes_punt(tmp_path):
+    """Qual bytes >= 223 (e.g. 0xFF 'no qual' on some records only): the C
+    decoders punt and the Python golden handles the file — both the
+    toolkit decode and the aligner's BamReader fall back cleanly."""
+    import struct as st
+    from basal_tpu.toolkit.bamio import (BamWriter, BgzfWriter,
+                                         decode_bam_to_sam,
+                                         encode_bam_record)
+    # one normal + one 0xEE-qual record, hand-assembled
+    ref_ids = {"chr1": 0}
+    rec1 = encode_bam_record(
+        "a\t0\tchr1\t10\t255\t4M\t*\t0\t0\tACGT\tIIII".split("\t"), ref_ids)
+    rec2 = bytearray(encode_bam_record(
+        "b\t0\tchr1\t20\t255\t4M\t*\t0\t0\tACGT\tIIII".split("\t"), ref_ids))
+    # patch b's qual bytes to 0xEE (offset: 4 len + 32 fixed + 2 name + 4
+    # cigar + 2 seq nibbles)
+    qoff = 4 + 32 + 2 + 4 + 2
+    rec2[qoff:qoff + 4] = b"\xee" * 4
+    bg = BgzfWriter(str(tmp_path / "q.bam"))
+    hdr = b"BAM\x01" + st.pack("<i", 0) + st.pack("<i", 1)
+    hdr += st.pack("<i", 5) + b"chr1\x00" + st.pack("<i", 100000)
+    bg.write(hdr + rec1 + bytes(rec2))
+    bg.close()
+    text = decode_bam_to_sam(str(tmp_path / "q.bam"))
+    recs = [l for l in text.splitlines() if l and not l.startswith("@")]
+    assert len(recs) == 2
+    assert recs[1].split("\t")[10] == chr(0xEE + 33) * 4  # Python golden
+
+    from basal_tpu.config import AlignParams
+    from basal_tpu.reads.io import BamReader
+    rd = BamReader(str(tmp_path / "q.bam"), AlignParams(conversion="C:T"))
+    batch = rd.next_batch(10)
+    rd.close()
+    # native punts -> ReadRec list from the Python loop, both reads present
+    assert len(batch) == 2
+    recs = [batch[i] if not hasattr(batch, "rec") else batch.rec(i)
+            for i in range(2)]
+    names = [r.name for r in recs]
+    assert names == ["a", "b"]
