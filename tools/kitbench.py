@@ -20,13 +20,15 @@ sys.path.insert(0, str(ROOT / "tests"))
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
 
-os.environ.setdefault("BENCH_PROFILE", "random")
+# own data dir: bench.py regenerates .oracle/benchdata per profile,
+# which would silently mismatch a cached kitbench alignment
+os.environ["BENCH_PROFILE"] = "random"
 os.environ["BENCH_READS"] = str(max(N, 100_000))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import bench  # noqa: E402
 
-work = ROOT / ".oracle" / "benchdata"
+work = ROOT / ".oracle" / "kitbench"
 work.mkdir(parents=True, exist_ok=True)
 ref_fa, reads_fq = bench.make_data(work)
 
