@@ -203,7 +203,9 @@ def extend_gap_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
     """GAPPED batched extension with the Pallas core: returns
     (counts u8[C], pos0 i16[C, K_POS], pos1 i16[C, 2*gap, K_POS]) —
     identical contract to ops.extend.extend_kernel_packed with gap>0.
-    Opt-in via BASAL_TPU_PALLAS_GAP=1 until measured on a real chip."""
+    Default on TPU (measured 1.88x over the XLA gapped kernel at
+    production shapes, tools/pallasbench.py 20 gap: 768 vs 1443 ms per
+    2^20 candidates); BASAL_TPU_PALLAS_GAP=0 forces XLA."""
     from .extend import K_POS
     K = K_POS
     loc = meta[:C]
