@@ -234,6 +234,20 @@ def main():
         sam_parts.append(al.finish_batch_prefetched(st, al.prefetch_state(st)))
         n_warm += len(b)
     log(f"placement settled after {n_warm} warmup reads")
+    # placement-aware batch size: when the measured placement settles on the
+    # host evaluator (the usual outcome through the remote tunnel, where the
+    # link cost dominates), the steady passes switch to the reference's own
+    # 50k batches — host-path fixed costs amortize (+20% measured, same tune
+    # as the cpu-fallback branch above).  A device-routed placement keeps
+    # 25k batches: small tunnel uploads, no recompile at a new bucket.
+    if platform == "tpu" and PROFILE == "random":
+        host_cost = (al._host_t / al._host_n) if al._host_n else None
+        dev_cost = al._dev.cost_per_cand if al._dev is not None else None
+        if (host_cost is not None and dev_cost is not None
+                and host_cost < 0.7 * dev_cost):
+            BATCH = 50_000
+            log("measured placement = host evaluator; steady passes use "
+                "50k-read batches")
     # steady state: device calls stay strictly sequential (the tunnel
     # serializes and degrades under interleaved transfers), but batch k's
     # pure-host tail (replay + SAM formatting) runs in a side thread while
