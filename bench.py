@@ -248,6 +248,15 @@ def main():
             BATCH = 50_000
             log("measured placement = host evaluator; steady passes use "
                 "50k-read batches")
+            # one untimed batch at the new size: the first 50k batch grows
+            # every per-batch buffer (group tables, candidate arrays,
+            # encoder planes) — absorb that outside the timed passes
+            b = rd.next_batch(BATCH)
+            if b:
+                st = al.submit_batch(b)
+                sam_parts.append(
+                    al.finish_batch_prefetched(st, al.prefetch_state(st)))
+                n_warm += len(b)
     # steady state: device calls stay strictly sequential (the tunnel
     # serializes and degrades under interleaved transfers), but batch k's
     # pure-host tail (replay + SAM formatting) runs in a side thread while
