@@ -121,9 +121,16 @@ def iter_sam_lines(path: str) -> Iterable[str]:
     up = path.upper()
     if up.endswith(".SAM"):
         yield from open(path)
-    elif up.endswith(".BAM") or up.endswith(".CRAM"):
-        from .bamio import decode_bam_to_sam
-        for line in decode_bam_to_sam(path).splitlines():
+    elif up.endswith(".CRAM"):
+        # The reference accepts CRAM by shelling out to `samtools view`
+        # (basalkit_functions.py:163-166).  We have no CRAM decoder —
+        # refuse explicitly rather than misparse the container as BAM.
+        raise SystemExit(
+            f"CRAM input is not supported ({path}); convert to BAM first, "
+            "e.g.: samtools view -b -T ref.fa in.cram > in.bam")
+    elif up.endswith(".BAM"):
+        from .bamio import iter_bam_sam_lines
+        for line in iter_bam_sam_lines(path):
             if not line.startswith("@"):
                 yield line
     else:

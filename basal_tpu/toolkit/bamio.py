@@ -303,8 +303,8 @@ def read_bgzf(path: str) -> bytes:
 def decode_bam_to_sam(path: str) -> str:
     """Decode a BAM file to SAM text (toolkit BAM input + tests).  Records
     decode through the C twin (engine.cpp:bt_bam_to_sam, ~20x) when the
-    native engine is available; the Python loop below is the golden
-    fallback (and handles float aux, whose repr() the C side punts on)."""
+    native engine is available; decode_records_py is the golden fallback
+    (and handles float aux, whose repr() the C side punts on)."""
     import io
     raw = read_bgzf(path)
     fh = io.BufferedReader(io.BytesIO(raw))
@@ -322,10 +322,20 @@ def decode_bam_to_sam(path: str) -> str:
                               [n for n, _ in refs])
     if body is not None:
         head = (text.rstrip("\n") + "\n") if text else ""
-        # degenerate no-header no-record file: the Python loop below
+        # degenerate no-header no-record file: decode_records_py below
         # returns "\n".join([]) + "\n"
         return (head + body.decode("latin1")) or "\n"
     out = [text.rstrip("\n")] if text else []
+    out += decode_records_py(raw[fh.tell():], refs)
+    return "\n".join(out) + "\n"
+
+
+def decode_records_py(raw: bytes, refs: List[tuple]) -> List[str]:
+    """Pure-Python BAM record decoder over concatenated records (golden
+    fallback for the C twin; exact SAM text semantics incl. float aux)."""
+    import io
+    fh = io.BufferedReader(io.BytesIO(raw))
+    out: List[str] = []
     nt16 = "=ACMGRSVTWYHKDBN"
     while True:
         hdr = fh.read(4)
@@ -389,4 +399,74 @@ def decode_bam_to_sam(path: str) -> str:
                   cig or "*", rnext, str(npos + 1), str(tlen), seq or "*",
                   qual_out]
         out.append("\t".join(fields + tags))
-    return "\n".join(out) + "\n"
+    return out
+
+
+def iter_bam_sam_lines(path: str, chunk_bytes: int = 1 << 23):
+    """Stream a BAM file as SAM lines (header lines first) in bounded
+    memory: BGZF blocks are walked one at a time, complete records are
+    batched into ~chunk_bytes buffers and decoded via the C twin
+    (decode_records_py fallback per chunk).  Replaces whole-file
+    decode_bam_to_sam for toolkit streaming paths (bamutil view/sort/fastq
+    on multi-GB BAMs)."""
+    from .bamindex import iter_bgzf_blocks
+    from ..native import bam_records_to_sam
+    blocks = iter_bgzf_blocks(path)
+    buf = bytearray()
+
+    def fill(need: int) -> bool:
+        while len(buf) < need:
+            try:
+                buf.extend(next(blocks)[1])
+            except StopIteration:
+                return False
+        return True
+
+    if not fill(12) or bytes(buf[:4]) != b"BAM\x01":
+        raise ValueError(f"not a BAM file: {path}")
+    l_text = struct.unpack_from("<i", buf, 4)[0]
+    fill(8 + l_text + 4)
+    text = bytes(buf[8:8 + l_text]).decode(errors="replace")
+    off = 8 + l_text
+    n_ref = struct.unpack_from("<i", buf, off)[0]
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        fill(off + 4)
+        ln = struct.unpack_from("<i", buf, off)[0]
+        fill(off + 8 + ln)
+        refs.append((bytes(buf[off + 4:off + 4 + ln - 1]).decode(),
+                     struct.unpack_from("<i", buf, off + 4 + ln)[0]))
+        off += 8 + ln
+    for line in text.splitlines():
+        if line:
+            yield line
+    del buf[:off]
+    names = [n for n, _ in refs]
+
+    def decode(chunk: bytes):
+        body = bam_records_to_sam(memoryview(chunk), names)
+        if body is not None:
+            for line in body.decode("latin1").splitlines():
+                yield line
+        else:
+            yield from decode_records_py(chunk, refs)
+
+    while True:
+        if not fill(4):
+            if buf:
+                raise ValueError("truncated BAM record size")
+            return
+        # extend to a batch of complete records >= chunk_bytes
+        end = 0
+        while True:
+            if not fill(end + 4):
+                break
+            sz = struct.unpack_from("<i", buf, end)[0]
+            if not fill(end + 4 + sz):
+                raise ValueError("truncated BAM record")
+            end += 4 + sz
+            if end >= chunk_bytes:
+                break
+        yield from decode(bytes(buf[:end]))
+        del buf[:end]

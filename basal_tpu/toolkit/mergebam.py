@@ -311,5 +311,9 @@ def merge_bam(trans_bam: str, genome_bam: str, gtf_path: str,
     out_path = output_prefix + ".merge.sorted.bam"
     with BamWriter(out_path) as bw:
         bw.write("\n".join(header + records) + "\n")
-    disp(f"mergeBAM Finished -> {out_path}")
+    # reference driver sorts AND indexes the merged BAM
+    # (basalkit.py:303-321: pysam.sort + pysam.index)
+    from .bamindex import build_index
+    build_index(out_path)
+    disp(f"mergeBAM Finished -> {out_path} (+.bai)")
     return out_path
