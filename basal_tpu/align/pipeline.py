@@ -12,6 +12,7 @@ main.cpp:60-92, align.cpp:565-580), restructured for a TPU:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import List, Optional
@@ -36,6 +37,27 @@ from .sam import SamEmitter, sam_header
 #: (~2 ns/candidate-word); locally attached chips should set
 #: BASAL_TPU_HOST_EVAL=0 (always device) or raise the threshold.
 HOST_EVAL_MIN = 2_000_000
+
+# Once a run has processed this many reads, MADV_COLLAPSE the seed-index
+# tables into 2 MiB pages on a background thread (native.madvise_collapse:
+# the random gathers in seed scheduling are TLB-bound on 4 KiB pages, ~40%
+# of bt_build_groups_mt; collapse costs ~5 s/172 MB table on this host, so
+# only long runs amortize it).  BASAL_TPU_THP=0 disables, =1 forces at
+# aligner construction.
+THP_AFTER_READS = 150_000
+
+
+def _maybe_start_thp(aligner) -> None:
+    if aligner._thp_started or aligner.total_reads < THP_AFTER_READS:
+        return
+    aligner._thp_started = True
+    if os.environ.get("BASAL_TPU_THP", "auto") == "0":
+        return
+    import threading
+
+    from ..native import collapse_index_tables
+    threading.Thread(target=collapse_index_tables,
+                     args=(aligner.index, aligner.ref), daemon=True).start()
 
 
 def _inline_tail_enabled() -> bool:
@@ -294,6 +316,11 @@ class SingleEndAligner:
         self.emitter = SamEmitter(params, ref, self.rng, rrbs_seglen=rrbs_fn)
         self.total_reads = 0
         self.total_candidates = 0
+        self._thp_started = False
+        if os.environ.get("BASAL_TPU_THP") == "1":
+            from ..native import collapse_index_tables
+            collapse_index_tables(index, ref)  # forced: collapse at startup
+            self._thp_started = True
         # per-stage cost anatomy, printed at -V 2 (the reference keeps the
         # analogous total_candidates/total_seeds counters, align.h:98)
         self.stage = {
@@ -373,6 +400,7 @@ class SingleEndAligner:
             if wb is not None:
                 wb()
         self.total_reads += len(reads)
+        _maybe_start_thp(self)
         if self.native is None:
             return ("py", enc)
         from ..reads.io import RawBatch
@@ -427,6 +455,30 @@ class SingleEndAligner:
         return ("native", enc, groups, goff, off, (loc, plane, row),
                 handle, uinv, eff)
 
+    # host wins a wave when its measured cost/candidate is below this
+    # fraction of the device's (hysteresis against routing flapping)
+    HOST_DEV_MARGIN = 0.7
+
+    def collapse_now(self) -> int:
+        """Synchronously collapse the index tables into hugepages (see
+        THP_AFTER_READS).  For callers with an explicit untimed setup
+        window (bench.py warmup); returns arrays collapsed."""
+        self._thp_started = True
+        from ..native import collapse_index_tables
+        return collapse_index_tables(self.index, self.ref)
+
+    def measured_placement(self):
+        """'host' | 'device' once BOTH paths have real measurements, else
+        None.  Public: bench.py keys its batch-size choice on this instead
+        of reaching into _host_t/_host_n/_dev."""
+        if (self._dev is not None and self._dev.cost_per_cand is not None
+                and self._host_n):
+            host_cost = self._host_t / self._host_n
+            return ("host" if host_cost
+                    < self.HOST_DEV_MARGIN * self._dev.cost_per_cand
+                    else "device")
+        return None
+
     def _host_eval_policy(self, n_cands: int) -> bool:
         """Measured adaptive placement: beyond the static rules, once the
         device+link cost has been observed (cost_per_cand from real waves),
@@ -438,11 +490,11 @@ class SingleEndAligner:
         if (os.environ.get("BASAL_TPU_HOST_EVAL", "auto") == "auto"
                 and n_cands <= HOST_EVAL_MIN
                 and self._dev is not None):
-            dev_cost = self._dev.cost_per_cand
-            if dev_cost is not None:
-                if self._host_n == 0:
+            if self._dev.cost_per_cand is not None:
+                placement = self.measured_placement()
+                if placement is None:
                     return n_cands >= 16384  # one measured host probe
-                return self._host_t / self._host_n < 0.7 * dev_cost
+                return placement == "host"
         return host_eval_policy(self.p, n_cands)
 
     def _host_eval_timed(self, enc, loc, plane, row):

@@ -265,6 +265,56 @@ def madvise_hugepage(arr: np.ndarray) -> None:
         pass
 
 
+def madvise_collapse(arr: np.ndarray) -> bool:
+    """Synchronously collapse an ALREADY-POPULATED array's pages into
+    transparent hugepages (MADV_COLLAPSE, Linux >= 6.1).  Unlike
+    MADV_HUGEPAGE (which only affects future faults — and on this
+    virtualized host made first-touch ~6x slower, see madvise_hugepage),
+    collapse happens after the fill, so the build path never pays slow THP
+    faults.  Still expensive (~30 ms/2 MiB page hypervisor-side here, ~5 s
+    per 172 MB table), so callers run it on a background thread once a run
+    has proven long enough to amortize it (pipeline THP_AFTER_READS).
+
+    Why: the seed-index tables (3^16 slots, 170-340 MB each) are gathered
+    at random per seed probe; with 4 KiB pages nearly every gather is also
+    a TLB miss — measured ~40% of bt_build_groups_mt wall on the random
+    bench profile.  2 MiB pages drop a table to <200 TLB entries.
+    """
+    if arr.nbytes < (32 << 20):
+        return False  # small tables fit the TLB already
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        page = 4096
+        addr = arr.ctypes.data
+        end = (addr + arr.nbytes) & ~(page - 1)
+        start = (addr + page - 1) & ~(page - 1)
+        if end - start < (2 << 20):
+            return False
+        return libc.madvise(ctypes.c_void_p(start),
+                            ctypes.c_size_t(end - start),
+                            ctypes.c_int(25)) == 0  # MADV_COLLAPSE
+    except Exception:  # noqa: BLE001 - purely advisory
+        return False
+
+
+def collapse_index_tables(index, ref=None) -> int:
+    """MADV_COLLAPSE the gather-hot tables of a seed index (+ reference
+    planes).  Returns the number of arrays collapsed.  Safe concurrently
+    with readers (the kernel remaps atomically; gathers see brief stalls).
+    Order = measured gather volume: counts (~80/read in seed scheduling)
+    before starts/n1/locs (~8-9/read in fill_eval)."""
+    done = 0
+    for name in ("counts", "starts", "n1", "locs"):
+        a = getattr(index, name, None)
+        if isinstance(a, np.ndarray):
+            done += bool(madvise_collapse(a))
+    if ref is not None:
+        a = getattr(ref, "ref32", None)
+        if isinstance(a, np.ndarray):
+            done += bool(madvise_collapse(a))
+    return done
+
+
 def native_available() -> bool:
     return get_lib() is not None
 

@@ -121,6 +121,10 @@ static inline void gather_counts(const i32* counts, const u32* sv,
 static inline void fill_count_cache(const Shared& sh, const u32* sv,
                                     i32 n_off, i32 segnum, i32 cap,
                                     u32* cc) {
+#ifdef BT_PROF_NOGATHER  // attribution builds only (tools/buildprof.py)
+    for (i32 i = 0; i < n_off; ++i) cc[i] = 1;
+    if (true) return;
+#endif
     i32 ranges[2 * (MAXSNPS + 1)];
     i32 nr = 0;
     for (i32 seg = 0; seg < segnum && seg <= MAXSNPS; ++seg) {
@@ -166,6 +170,13 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
         u32* cc = cc2 + (i64)chain * sh.S;
         i32 cap = std::max(max_offset, start_offset_state[chain]);
         fill_count_cache(sh, sv, n_off, segnum, cap, cc);
+#ifdef BT_PROF_NOSCHED  // attribution builds only (tools/buildprof.py)
+        for (i32 i = 0; i < segnum; ++i) {
+            out[chain].start_arr[i] = 0;
+            out[chain].order[i] = i;
+        }
+        continue;
+#endif
         if (max_offset > 0) {
             u32 best = 0xffffffffu;
             for (i32 i = 0; i < max_offset; ++i) {

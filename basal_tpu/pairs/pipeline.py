@@ -253,6 +253,13 @@ class PairEndAligner:
         self.stage = {"cand_enum": 0, "cand_host": 0, "cand_device": 0,
                       "batches_lazy": 0, "batches_bulk": 0,
                       "batches_split": 0}
+        self.total_reads = 0       # pairs processed (THP trigger, see SE)
+        self._thp_started = False
+        import os
+        if os.environ.get("BASAL_TPU_THP") == "1":
+            from ..native import collapse_index_tables
+            collapse_index_tables(index, ref)
+            self._thp_started = True
 
     def pair_stats(self):
         """(aligned, unique, multiple) pairs merged across the Python
@@ -283,6 +290,9 @@ class PairEndAligner:
 
     def align_batch(self, reads_a, reads_b) -> bytes:
         p = self.p
+        self.total_reads += len(reads_a)
+        from ..align.pipeline import _maybe_start_thp
+        _maybe_start_thp(self)
         # candidate-volume guard: repeat-heavy references can enumerate 10^4+
         # candidates per read; split the pair batch so the eager PE tables
         # stay bounded (the SE path uses lazy strata-ladder waves instead).

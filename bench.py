@@ -234,69 +234,99 @@ def main():
         sam_parts.append(al.finish_batch_prefetched(st, al.prefetch_state(st)))
         n_warm += len(b)
     log(f"placement settled after {n_warm} warmup reads")
+    # hugepage-collapse the index tables inside the untimed warmup window
+    # (TLB-bound seed-scheduling gathers; first-time THP faults on this
+    # virtualized host are expensive, so pay them here, not in a timed pass
+    # or the background trigger during one)
+    t0 = time.time()
+    ncol = al.collapse_now()
+    log(f"index tables collapsed to hugepages: {ncol} arrays "
+        f"in {time.time()-t0:.1f}s")
     # placement-aware batch size: when the measured placement settles on the
     # host evaluator (the usual outcome through the remote tunnel, where the
     # link cost dominates), the steady passes switch to the reference's own
     # 50k batches — host-path fixed costs amortize (+20% measured, same tune
     # as the cpu-fallback branch above).  A device-routed placement keeps
     # 25k batches: small tunnel uploads, no recompile at a new bucket.
-    if platform == "tpu" and PROFILE == "random":
-        host_cost = (al._host_t / al._host_n) if al._host_n else None
-        dev_cost = al._dev.cost_per_cand if al._dev is not None else None
-        if (host_cost is not None and dev_cost is not None
-                and host_cost < 0.7 * dev_cost):
-            BATCH = 50_000
-            log("measured placement = host evaluator; steady passes use "
-                "50k-read batches")
-            # one untimed batch at the new size: the first 50k batch grows
-            # every per-batch buffer (group tables, candidate arrays,
-            # encoder planes) — absorb that outside the timed passes
-            b = rd.next_batch(BATCH)
-            if b:
-                st = al.submit_batch(b)
-                sam_parts.append(
-                    al.finish_batch_prefetched(st, al.prefetch_state(st)))
-                n_warm += len(b)
+    if (platform == "tpu" and PROFILE == "random"
+            and al.measured_placement() == "host"
+            and N_READS - n_warm >= 2 * 50_000):
+        BATCH = 50_000
+        log("measured placement = host evaluator; steady passes use "
+            "50k-read batches")
+        # one untimed batch at the new size: the first 50k batch grows
+        # every per-batch buffer (group tables, candidate arrays,
+        # encoder planes) — absorb that outside the timed passes
+        b = rd.next_batch(BATCH)
+        if b:
+            st = al.submit_batch(b)
+            sam_parts.append(
+                al.finish_batch_prefetched(st, al.prefetch_state(st)))
+            n_warm += len(b)
+
     # steady state: device calls stay strictly sequential (the tunnel
     # serializes and degrades under interleaved transfers), but batch k's
     # pure-host tail (replay + SAM formatting) runs in a side thread while
     # batch k+1 encodes/dispatches/fetches
     from concurrent.futures import ThreadPoolExecutor
     tail = ThreadPoolExecutor(1)
-    n_rest = 0
-    # seven steady passes over the same reads (host-neighbor steal storms
-    # swing both sides 2-3x between windows; the median pair ratio over
-    # seven windows is robust); keep the first pass's SAM output
-    rates = []
-    paired_orps = []
-    for rep in range(7):  # 7 same-window pairs: stabler median under steal storms
-        if rep:
-            rd.close()
-            rd = open_reads(str(reads_fq), p)
-            skipped = 0
-            while skipped < n_warm:  # skip the warmup batches' reads
-                skipped += len(rd.next_batch(BATCH))
-        n_rest = 0
+
+    def reopen_skip():
+        """Fresh reader positioned right after the warmup reads: skip
+        EXACTLY n_warm (partial final request), so every pass times the
+        identical read set."""
+        r2 = open_reads(str(reads_fq), p)
+        skipped = 0
+        while skipped < n_warm:
+            got = len(r2.next_batch(min(BATCH, n_warm - skipped)))
+            if not got:
+                break
+            skipped += got
+        return r2
+
+    def one_pass(reader, collect):
+        n = 0
+        outs = [] if collect else None
         t0 = time.time()
         futs = []
         while True:
-            b = rd.next_batch(BATCH)
+            b = reader.next_batch(BATCH)
             if not b:
                 break
             state = al.submit_batch(b)
             counts = al.prefetch_state(state)
             futs.append(tail.submit(al.finish_batch_prefetched, state,
                                     counts))
-            n_rest += len(b)
+            n += len(b)
             while len(futs) > 2:
                 out = futs.pop(0).result()
-                if rep == 0:
-                    sam_parts.append(out)
+                if collect:
+                    outs.append(out)
         for f in futs:
             out = f.result()
-            if rep == 0:
-                sam_parts.append(out)
-        dt = time.time() - t0
+            if collect:
+                outs.append(out)
+        return n, time.time() - t0, outs
+
+    # untimed SAM-collection pass FIRST: it both produces the equality
+    # output and pre-pays every residual first-pass cost (SAM string arena
+    # growth, group-buffer growth at the final batch size, page cache) —
+    # in r02 the first timed pass ran ~2x under the best pass because it
+    # doubled as the collection pass (pair ratio 1.074 vs 2.683)
+    n_rest, dt, outs = one_pass(rd, collect=True)
+    sam_parts += outs
+    log(f"ours equality pass (untimed): {n_rest} reads in {dt:.2f}s = "
+        f"{n_rest/max(dt,1e-9):.0f} reads/s")
+
+    # seven timed steady passes over the same reads, outputs dropped
+    # (host-neighbor steal storms swing both sides 2-3x between windows;
+    # the median pair ratio over seven windows is robust)
+    rates = []
+    paired_orps = []
+    for rep in range(7):  # 7 same-window pairs: stabler median under steal storms
+        rd.close()
+        rd = reopen_skip()
+        n_rest, dt, _ = one_pass(rd, collect=False)
         if n_rest:
             rates.append(n_rest / dt)
         log(f"ours pass {rep}: {n_rest} reads in {dt:.2f}s = "
@@ -305,6 +335,7 @@ def main():
             paired_orps.append(
                 oracle_once(oracle, ref_fa, reads_fq, work, t_start))
             log(f"paired oracle run: {paired_orps[-1]:.0f} reads/s")
+    rd.close()
     tail.shutdown()
     # headline value = MEDIAN of the steady passes (consistent with the
     # median pair ratio used for vs_baseline; per-pass rates disclosed)
