@@ -63,17 +63,55 @@ class SeedScheduler:
     read's value leaks into AdjustSeedStartArray's search bounds.
     """
 
+    #: reference xseed_array/xseedreg_array capacity (align.h:90:
+    #: [2][FIXSIZE - SEGLEN] = [2][480])
+    STALE_N = 480
+
     def __init__(self, params: AlignParams, index: SeedIndex, rng: MyRand):
         self.p = params
         self.index = index
         self.rng = rng
         self.profile = params.profile()        # [MAXSNPS+1, I]
         self.start_offset_state = [0, 0]       # per chain
+        # persistent stale seed buffers: entry k = seed/has-N of the LAST
+        # unfiltered chain-enabled read with L - s >= k (zeros before first
+        # touch — the oracle's SingleAlign heap pages arrive zeroed).  Reads
+        # with (L-I+1) % s == 0 skip the best-offset search, so a previous
+        # read's start offset leaks into AdjustSeedStartArray and its probes
+        # index the buffer beyond [0, L-s] — consuming these entries.
+        self.seed_state = np.zeros((2, self.STALE_N), np.uint32)
+        self.reg_state = np.zeros((2, self.STALE_N), bool)
 
-    def count_seeds(self, seedval: np.ndarray, has_n: np.ndarray,
-                    n_off: int, seg: int, start: int) -> int:
+    def refresh_state(self, enc: EncodedBatch, r: int) -> None:
+        """ConvertBinarySeq effect (align.cpp:153-226): every unfiltered
+        read overwrites the enabled chains' buffers at [0, L-s] — even reads
+        with no seed segments (RunAlign converts before probing)."""
+        n = min(int(enc.n_offsets[r]), self.STALE_N)
+        if n <= 0:
+            return
+        for chain in range(2):
+            if not enc.xflag_chain[r, chain]:
+                continue
+            self.seed_state[chain, :n] = enc.seedval[r, chain, :n]
+            self.reg_state[chain, :n] = enc.seed_has_n[r, chain, :n]
+
+    def probe_seed(self, enc: EncodedBatch, r: int, chain: int, off: int):
+        """Seed value at offset ``off``: the read's own for in-range
+        offsets, the stale buffer beyond (None past even the reference's
+        480 entries)."""
+        if off < int(enc.n_offsets[r]):
+            return int(enc.seedval[r, chain, off])
+        if off < self.STALE_N:
+            return int(self.seed_state[chain, off])
+        return None
+
+    def count_seeds(self, chain: int, seedval: np.ndarray,
+                    has_n: np.ndarray, n_off: int, seg: int,
+                    start: int) -> int:
         """CountSeeds (align.cpp:526-540): u32-wrapping sum with sticky <<12
-        N-weight.  Returns the raw u32 total (callers reinterpret)."""
+        N-weight.  Offsets beyond [0, L-s] read the stale buffers (the
+        reference's fixed xseed_array; see __init__); offsets past even its
+        480 entries count 0 (reference UB, unreachable for L <= 480)."""
         I = self.p.index_interval
         total = np.uint32(0)
         k = 0
@@ -81,15 +119,17 @@ class SeedScheduler:
         with np.errstate(over="ignore"):
             for i in range(I):
                 off = int(self.profile[seg][i]) + start - i
-                # offsets are always < n_off for valid schedules (offset +
-                # seed_size <= L by construction); out-of-range can only occur
-                # through the stale-state path when (L-I+1)%s == 0 — the
-                # reference reads stale array entries there; we count 0.
-                if not (0 <= off < n_off):
+                if not (0 <= off < self.STALE_N):
                     continue
-                if has_n[off]:
+                if off < n_off:
+                    hn = has_n[off]
+                    sd = int(seedval[off])
+                else:
+                    hn = self.reg_state[chain, off]
+                    sd = int(self.seed_state[chain, off])
+                if hn:
                     k = 12
-                c = np.uint32(counts[int(seedval[off])])
+                c = np.uint32(counts[sd])
                 total = np.uint32(total + np.uint32(c << np.uint32(k)))
         if total == 0:
             total = np.uint32(9999999)
@@ -118,7 +158,7 @@ class SeedScheduler:
                 start_arr = [cso] * segnum
                 keys = []
                 for seg in range(segnum):
-                    c = self.count_seeds(seedval, has_n, n_off, seg, cso)
+                    c = self.count_seeds(chain, seedval, has_n, n_off, seg, cso)
                     keys.append((int(np.int32(np.uint32(c))), seg))
                 keys.sort()
                 out.append((start_arr, [seg for _, seg in keys]))
@@ -133,7 +173,7 @@ class SeedScheduler:
                     with np.errstate(over="ignore"):
                         for seg in range(segnum):
                             tt = np.uint32(tt + np.uint32(
-                                self.count_seeds(seedval, has_n, n_off, seg, i)))
+                                self.count_seeds(chain, seedval, has_n, n_off, seg, i)))
                     if int(tt) < best:
                         best = int(tt)
                         self.start_offset_state[chain] = i
@@ -147,14 +187,14 @@ class SeedScheduler:
                 total = 0xFFFFFFFF
                 start_arr[ptr] = lo
                 for ii in range(lo, hi + 1):
-                    tt = self.count_seeds(seedval, has_n, n_off, ptr, ii)
+                    tt = self.count_seeds(chain, seedval, has_n, n_off, ptr, ii)
                     if np.uint32(tt) < np.uint32(total):
                         total = tt
                         start_arr[ptr] = ii
             # segment order: sort (count-as-int, segid) pairs (align.cpp:492-495)
             keys = []
             for seg in range(segnum):
-                c = self.count_seeds(seedval, has_n, n_off, seg, start_arr[seg])
+                c = self.count_seeds(chain, seedval, has_n, n_off, seg, start_arr[seg])
                 keys.append((np.int32(np.uint32(c)), seg))
             keys.sort(key=lambda t: (int(t[0]), t[1]))
             order = [seg for _, seg in keys]
@@ -186,7 +226,18 @@ def build_candidates(params: AlignParams, index: SeedIndex,
     for r in range(B):
         glist: List[CandGroup] = []
         groups.append(glist)
-        if enc.filtered[r] or enc.seedseg_num[r] <= 0:
+        if enc.filtered[r]:
+            continue
+        sched.refresh_state(enc, r)
+        if enc.seedseg_num[r] <= 0:
+            # ReorderSeed still runs with 0 segments: GetTotalSeedLoc
+            # returns 0 for every probe start, so the best-offset search
+            # (when max_offset > 0) resets the sticky start offset to 0
+            # (align.cpp:475-480)
+            if (int(enc.map_len[r]) - I + 1) % p.seed_size > 0:
+                for chain in range(2):
+                    if enc.xflag_chain[r, chain]:
+                        sched.start_offset_state[chain] = 0
             continue
         if schedules[r] is None:
             schedules[r] = sched.schedule_read(enc, r)
@@ -196,15 +247,16 @@ def build_candidates(params: AlignParams, index: SeedIndex,
             if per_chain[chain] is None:
                 continue
             start_arr, order = per_chain[chain]
-            seedval = enc.seedval[r, chain]
             for mode, seg in enumerate(order):
                 for i in range(I):
                     off = int(profile[seg][i]) + start_arr[seg] - i
-                    s = int(seedval[off])
+                    s = sched.probe_seed(enc, r, chain, off)
+                    if s is None:
+                        continue  # past even the reference's 480 entries
                     m = int(counts[s])
                     if m == 0 or m > mkn:
                         continue
-                    h = int(profile[seg][i]) + start_arr[seg] - i
+                    h = off
                     lo = int(starts[s])
                     locs = index.locs[lo:lo + m].astype(np.int64)
                     cand_loc = (locs - h).astype(np.int32)
@@ -246,8 +298,11 @@ def build_candidates_rrbs(params: AlignParams, rindex, ref,
     for r in range(B):
         glist: List[CandGroup] = []
         groups.append(glist)
-        if enc.filtered[r] or enc.seedseg_num[r] <= 0:
+        if enc.filtered[r]:
             continue
+        sched.refresh_state(enc, r)
+        if enc.seedseg_num[r] <= 0:
+            continue  # RRBS start offset is fixed at 0 — no sticky state
         per_chain = sched.schedule_read(enc, r)
         rv = sched.rng(enc.reads[r].index)
         L = int(enc.map_len[r])
@@ -256,11 +311,12 @@ def build_candidates_rrbs(params: AlignParams, rindex, ref,
             if per_chain[chain] is None:
                 continue
             _, order = per_chain[chain]
-            seedval = enc.seedval[r, chain]
             for mode, seg in enumerate(order):
                 cmode = seg if chain == 0 else L // p.seed_size - 1 - seg
                 off = int(profile[seg][0]) + cso * chain
-                s = int(seedval[off])
+                s = sched.probe_seed(enc, r, chain, off)
+                if s is None:
+                    continue  # past even the reference's 480 entries
                 lo, m = int(rindex.starts[s]), int(rindex.n1[s])
                 if m == 0:
                     continue

@@ -147,6 +147,14 @@ class DeviceContext:
         self.meas_t = 0.0
         self.meas_n = 0
         self._meas_skip = 1
+        # single-transfer blob upload (ops.extend.carve_blob): packs loc+
+        # strand+row_off+rowmeta+planes into ONE i32 array per wave and
+        # derives the valid/lenmask planes on device — 1 transfer instead
+        # of 3 (the tunnel charges ~35 ms per transfer) and ~40% fewer
+        # uplink bytes.  Requires coords < 2^31 (strand rides loc bit 31);
+        # BASAL_TPU_BLOB=0 reverts to the 3-transfer packed entry.
+        self.use_blob = (os.environ.get("BASAL_TPU_BLOB", "1") not in ("", "0")
+                         and 16 * self.nw < (1 << 31))
 
     @property
     def cost_per_cand(self):
@@ -194,6 +202,12 @@ class DeviceContext:
 
         roff = np.pad(row_off, (0, upad), constant_values=C).astype(np.int32)
         Upad = U + upad
+
+        if self.use_blob:
+            res = self._extend_blob(enc, loc, plane, used, roff,
+                                    cpad, pad, Upad, upad)
+            if res is not None:
+                return C, res
 
         need_mread = self.mode == "multiway"
         need_len = p.gap > 0
@@ -245,6 +259,79 @@ class DeviceContext:
             mode=self.mode, gap=p.gap, W=enc.W, nw=self.nw,
             C=cpad, U=Upad, n_planes=len(plane_list))
         return C, res
+
+    def _extend_blob(self, enc: EncodedBatch, loc, plane, used, roff,
+                     cpad, pad, Upad, upad):
+        """Build the single-transfer wave blob (layout: ops.extend.carve_blob)
+        and dispatch the matching kernel entry.  Returns the device result,
+        or None when the wave is ineligible (> 4094 N-containing rows — the
+        rowmeta exception field is 12 bits) so the caller falls back to the
+        3-transfer packed entry.
+
+        Rows whose validity plane equals the pure length mask (reads without
+        Ns — the overwhelming majority) ship no validity words at all; the
+        rare exceptions ride in a compact [E, W] tail indexed from rowmeta.
+        """
+        p = self.params
+        built = self._build_blob(enc, loc, plane, used, roff, pad, upad)
+        if built is None:
+            return None
+        blob, epad = built
+        W = enc.W
+        if self.use_pallas and p.gap == 0:
+            from ..ops.extend_pallas import extend_counts_pallas_blob
+            return extend_counts_pallas_blob(
+                self.ref32_dev, blob, mode=self.mode, W=W, nw=self.nw,
+                C=cpad, U=Upad, E=epad)
+        if (self.use_pallas and p.gap > 0
+                and os.environ.get("BASAL_TPU_PALLAS_GAP", "1") != "0"):
+            from ..ops.extend_pallas import extend_gap_pallas_blob
+            return extend_gap_pallas_blob(
+                self.ref32_dev, blob, mode=self.mode, gap=p.gap, W=W,
+                nw=self.nw, C=cpad, U=Upad, E=epad)
+        from ..ops.extend import extend_kernel_blob
+        return extend_kernel_blob(
+            self.ref32_dev, blob, mode=self.mode, gap=p.gap, W=W,
+            nw=self.nw, C=cpad, U=Upad, E=epad)
+
+    def _build_blob(self, enc: EncodedBatch, loc, plane, used, roff,
+                    pad, upad):
+        """Assemble the carve_blob i32 buffer; (blob, E_padded) or None."""
+        hasn = getattr(enc, "_hasn_cache", None)
+        if hasn is None:
+            hasn = (enc.valid != enc.lenmask).any(axis=1)
+            enc._hasn_cache = hasn  # per-batch: cached on the EncodedBatch
+        excm = hasn[used]
+        E = int(excm.sum())
+        if E > 4094:
+            return None
+        U = len(used)
+        epad = max(8, 1 << max(E - 1, 1).bit_length())  # bucketed jit shapes
+        locp = (loc.astype(np.uint32)
+                | (plane.astype(np.uint32) << np.uint32(31))).view(np.int32)
+        exc = np.zeros(U, np.uint32)
+        exc[excm] = 1 + np.arange(E, dtype=np.uint32)
+        rl = np.repeat(enc.map_len, 2)[used].astype(np.uint32)
+        nc = np.repeat(enc.n_count, 2)[used].astype(np.uint32)
+        rowmeta = ((exc << np.uint32(20)) | (nc << np.uint32(10))
+                   | rl).view(np.int32)
+        parts = [np.pad(locp, (0, pad), constant_values=12800), roff,
+                 np.pad(rowmeta, (0, upad))]
+
+        def flat(a):
+            a = a[used]
+            if upad:
+                a = np.pad(a, ((0, upad), (0, 0)))
+            return a.reshape(-1).view(np.int32)
+
+        parts.append(flat(enc.base))
+        if self.mode == "multiway":
+            parts.append(flat(enc.mread))
+        ev = enc.valid[used][excm]
+        if E < epad:
+            ev = np.pad(ev, ((0, epad - E), (0, 0)))
+        parts.append(ev.reshape(-1).view(np.int32))
+        return jnp.asarray(np.concatenate(parts)), epad
 
     # candidate-heavy batches (repetitive references) are evaluated in
     # chunks to bound HLO temp memory on the device
@@ -385,8 +472,15 @@ class SingleEndAligner:
         enc = encode_batch(self.p, reads)
         ens = getattr(self.index, "ensure_batch", None)
         if ens is not None:
-            ens(enc, wait=False)
+            ens(enc, wait=False, extra=self._stale_seeds())
         return enc
+
+    def _stale_seeds(self):
+        """Current stale seed-buffer values (may be probed by this batch's
+        (L-I+1)%s==0 reads but absent from its own seedval)."""
+        nb = self.native
+        st = nb.seed_state if nb is not None else self.sched.seed_state
+        return st.reshape(-1)
 
     def submit_batch(self, reads, enc=None):
         """Host encode + lazy candidate build + async dispatch of wave 1."""
@@ -394,7 +488,7 @@ class SingleEndAligner:
             enc = encode_batch(self.p, reads)
             ens = getattr(self.index, "ensure_batch", None)
             if ens is not None:  # shard-resident index: one routed round
-                ens(enc)
+                ens(enc, extra=self._stale_seeds())
         else:
             wb = getattr(self.index, "wait_batch", None)
             if wb is not None:

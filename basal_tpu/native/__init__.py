@@ -328,6 +328,13 @@ class NativeBatch:
         self.ref = ref
         self.profile = params.profile().astype(np.int64)
         self.state = np.zeros(2, dtype=np.int32)  # xseed_start_offset
+        # persistent stale seed buffers (reference xseed_array /
+        # xseedreg_array twins, align.h:90 — see STALE_N in engine.cpp):
+        # entry k = seed/has-N of the last unfiltered chain-enabled read
+        # with L - s >= k; zeros before first touch (the oracle's heap
+        # pages arrive zeroed)
+        self.seed_state = np.zeros((2, 480), dtype=np.uint32)
+        self.reg_state = np.zeros((2, 480), dtype=np.uint8)
         self.anchors = ref.ref_anchor[:ref.total_num].astype(np.int64)
         self.rc_off = np.array([t.rc_offset for t in ref.titles], np.int64)
         self.sizes = np.array([t.size for t in ref.titles], np.int64)
@@ -372,19 +379,27 @@ class NativeBatch:
         args_common, sv = self._common_args(enc, read_indices)
         ng = ctypes.c_int64(0)
         state0 = self.state.copy()
+        sst0 = self.seed_state.copy()
+        rst0 = self.reg_state.copy()
         need = lib.bt_build_candidates(
-            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(0),
+            *args_common, _p(self.state, ctypes.c_int32),
+            _p(self.seed_state, ctypes.c_uint32),
+            _p(self.reg_state, ctypes.c_uint8), ctypes.c_int32(0),
             None, None, None, None, None, ctypes.byref(ng))
         self.state[:] = state0  # pass 2 must see the same initial state
+        self.seed_state[:] = sst0
+        self.reg_state[:] = rst0
         C = int(need)
         NG = int(ng.value)
         cand_loc = np.empty(C, np.int32)
         cand_plane = np.empty(C, np.int8)
         cand_row = np.empty(C, np.int32)
-        groups = np.empty((NG, 9), np.int64)
+        groups = np.empty((NG, 10), np.int64)
         goff = np.empty(B + 1, np.int64)
         lib.bt_build_candidates(
-            *args_common, _p(self.state, ctypes.c_int32), ctypes.c_int32(1),
+            *args_common, _p(self.state, ctypes.c_int32),
+            _p(self.seed_state, ctypes.c_uint32),
+            _p(self.reg_state, ctypes.c_uint8), ctypes.c_int32(1),
             _p(cand_loc, ctypes.c_int32), _p(cand_plane, ctypes.c_int8),
             _p(cand_row, ctypes.c_int32),
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
@@ -401,10 +416,12 @@ class NativeBatch:
         args_common, sv = self._common_args(enc, read_indices)
         ng = ctypes.c_int64(0)
         ub = int(2 * p.index_interval * int(enc.seedseg_num.sum())) + 1
-        groups = np.empty((ub, 9), np.int64)
+        groups = np.empty((ub, 10), np.int64)
         goff = np.empty(B + 1, np.int64)
         total = lib.bt_build_groups_mt(
             *args_common, _p(self.state, ctypes.c_int32),
+            _p(self.seed_state, ctypes.c_uint32),
+            _p(self.reg_state, ctypes.c_uint8),
             _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
             ctypes.byref(ng),
             ctypes.c_int32(min(_ncpu(), 8)))
@@ -413,21 +430,14 @@ class NativeBatch:
 
     def fill_groups(self, enc, groups, sel, off, base=0):
         """Materialize candidate arrays for the selected group indices,
-        writing compact offsets into ``off`` (int64 [ngroups])."""
+        writing compact offsets into ``off`` (int64 [ngroups]).  The seed is
+        resolved at build time (groups[:, 9] = starts[seed]) so no seedval
+        access happens here — stale-path groups stay exact."""
         lib = get_lib()
-        p = self.p
-        B = len(enc.reads)
-        S = enc.seedval.shape[-1] if enc.seedval.size else 1
-        sv = getattr(enc, "_sv_cache", None)
-        if sv is None or sv.shape[0] != B * 2:
-            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1), np.uint32)
         sel = np.ascontiguousarray(sel, np.int64)
         total = lib.bt_fill_groups(
             _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
             ctypes.c_int64(len(sel)),
-            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
-            _p(self.index.starts, ctypes.c_int64),
-            _p(self.index.n1, ctypes.c_int32),
             _p(self.index.locs, ctypes.c_uint32),
             ctypes.c_int32(0), ctypes.c_int64(base),
             None, None, None, None)
@@ -438,9 +448,6 @@ class NativeBatch:
         lib.bt_fill_groups(
             _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
             ctypes.c_int64(len(sel)),
-            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
-            _p(self.index.starts, ctypes.c_int64),
-            _p(self.index.n1, ctypes.c_int32),
             _p(self.index.locs, ctypes.c_uint32),
             ctypes.c_int32(1), ctypes.c_int64(base),
             _p(loc, ctypes.c_int32), _p(plane, ctypes.c_int8),
@@ -456,12 +463,6 @@ class NativeBatch:
         fill -> copy -> eval."""
         lib = get_lib()
         p = self.p
-        B = len(enc.reads)
-        S = enc.seedval.shape[-1] if enc.seedval.size else 1
-        sv = getattr(enc, "_sv_cache", None)
-        if sv is None or sv.shape[0] != B * 2:
-            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1),
-                                      np.uint32)
         sel = np.ascontiguousarray(sel, np.int64)
         mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
             "nt3" if p.nt3 else
@@ -476,9 +477,6 @@ class NativeBatch:
         return lib.bt_fill_eval_groups(
             _p(groups, ctypes.c_int64), _p(sel, ctypes.c_int64),
             ctypes.c_int64(len(sel)),
-            ctypes.c_int32(S), _p(sv, ctypes.c_uint32),
-            _p(self.index.starts, ctypes.c_int64),
-            _p(self.index.n1, ctypes.c_int32),
             _p(self.index.locs, ctypes.c_uint32),
             ctypes.c_int64(base),
             ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -494,18 +492,12 @@ class NativeBatch:
         EvalCtx in engine.cpp); all-null when disabled."""
         if not enable:
             return [None, ctypes.c_int64(0), None, None, None, None,
-                    ctypes.c_int32(0), ctypes.c_int32(0), None,
-                    ctypes.c_int32(0), None, None, None, None]
+                    ctypes.c_int32(0), ctypes.c_int32(0), None, None, None]
         p = self.p
         B = len(enc.reads)
         mode = {"oneway": 0, "multiway": 1, "nt3": 2}[
             "nt3" if p.nt3 else
             ("oneway" if p.rule.one_way else "multiway")]
-        sv = getattr(enc, "_sv_cache", None)
-        if sv is None or sv.shape[0] != B * 2:
-            sv = np.ascontiguousarray(enc.seedval.reshape(B * 2, -1),
-                                      np.uint32)
-            enc._sv_cache = sv
         ncnt = getattr(enc, "_ncnt2_cache", None)
         if ncnt is None:
             ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2), np.int32)
@@ -514,7 +506,7 @@ class NativeBatch:
         if ml2 is None:
             ml2 = np.ascontiguousarray(np.repeat(enc.map_len, 2), np.int32)
             enc._ml2_cache = ml2
-        self._ev_keep = (sv, ncnt, ml2)
+        self._ev_keep = (ncnt, ml2)
         ref32 = self.ref.ref32
         return [
             ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -522,8 +514,6 @@ class NativeBatch:
             _p(enc.base, ctypes.c_uint32), _p(enc.valid, ctypes.c_uint32),
             _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
             ctypes.c_int32(enc.W), ctypes.c_int32(mode),
-            _p(sv, ctypes.c_uint32), ctypes.c_int32(sv.shape[1]),
-            _p(self.index.starts, ctypes.c_int64),
             _p(self.index.locs, ctypes.c_uint32),
             # gapped visit-time: lazy MismatchPattern0/1 inputs
             _p(enc.lenmask, ctypes.c_uint32), _p(ml2, ctypes.c_int32)]
@@ -628,7 +618,7 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
 
     # on-demand eval tables (groups left at counts_off -1 are evaluated at
     # visit time); enabled by passing the seed index
-    ev_shared = [None, ctypes.c_int64(0), None, None, ctypes.c_int32(0)]
+    ev_shared = [None, ctypes.c_int64(0), None, ctypes.c_int32(0)]
     ev_ends = {id(enc_a): [None] * 7, id(enc_b): [None] * 7}
     keep = []
     if index is not None:
@@ -638,15 +628,8 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
         ev_shared = [
             ref.ref32.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.c_int64(ref.ref32.shape[1]),
-            _p(index.starts, ctypes.c_int64),
             _p(index.locs, ctypes.c_uint32), ctypes.c_int32(mode)]
         for enc in (enc_a, enc_b):
-            nb = len(enc.reads)
-            sv = getattr(enc, "_sv_cache", None)
-            if sv is None or sv.shape[0] != nb * 2:
-                sv = np.ascontiguousarray(enc.seedval.reshape(nb * 2, -1),
-                                          np.uint32)
-                enc._sv_cache = sv
             ncnt = getattr(enc, "_ncnt2_cache", None)
             if ncnt is None:
                 ncnt = np.ascontiguousarray(np.repeat(enc.n_count, 2),
@@ -657,19 +640,17 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
                 ml2 = np.ascontiguousarray(np.repeat(enc.map_len, 2),
                                            np.int32)
                 enc._ml2_cache = ml2
-            keep.append((sv, ncnt, ml2))
+            keep.append((ncnt, ml2))
             ev_ends[id(enc)] = [
                 _p(enc.base, ctypes.c_uint32),
                 _p(enc.valid, ctypes.c_uint32),
                 _p(enc.mread, ctypes.c_uint32), _p(ncnt, ctypes.c_int32),
-                ctypes.c_int32(enc.W), _p(sv, ctypes.c_uint32),
-                ctypes.c_int32(sv.shape[1]),
+                ctypes.c_int32(enc.W),
                 _p(enc.lenmask, ctypes.c_uint32), _p(ml2, ctypes.c_int32)]
     else:
         z32 = ctypes.c_int32(0)
         for k in ev_ends:
-            ev_ends[k] = [None, None, None, None, z32, None, z32,
-                          None, None]
+            ev_ends[k] = [None, None, None, None, z32, None, None]
 
     pair_cap = max(B * 4, 4096)
     hit_cap = max(B * 8, 4096)

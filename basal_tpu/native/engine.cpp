@@ -37,6 +37,17 @@ namespace {
 constexpr int MAXSNPS = 15;
 constexpr int KPOS = 14;
 
+// Reference xseed_array/xseedreg_array capacity (align.h:90: fixed
+// [2][FIXSIZE - SEGLEN] = [2][480] per-thread buffers).  Reads write only
+// offsets [0, L-s]; a read with (map_len - I + 1) % s == 0 skips the
+// best-offset search, so the previous read's start offset leaks into
+// AdjustSeedStartArray (align.cpp:500-524) and its probes index the buffer
+// BEYOND the current read's range — consuming the previous longer read's
+// seed values (zeros on first touch: the oracle's SingleAlign heap pages
+// arrive zeroed).  The persistent seed_state/reg_state buffers replicate
+// that serial behavior exactly.
+constexpr i32 STALE_N = 480;
+
 struct Shared {
     // read batch
     i32 B;
@@ -75,15 +86,26 @@ static inline u32 myrand_hash(u32 idx, u32 randseed) {
 // CountSeeds (ref: align.cpp:526-540): u32-wrapping sum, sticky <<12 N
 // weight.  ``cc`` is the per-read prefetched counts cache (counts[] is a
 // 3^16-slot table; uncached lookups are ~100 DRAM misses per read).
+// Offsets beyond the read's own range [0, L-s] read the persistent stale
+// buffers st_sd/st_hn (see STALE_N) — uncached counts lookups, but the
+// stale path is rare (mixed-length batches only).
 static inline u32 count_seeds(const Shared& sh, const u32* cc, const u8* hn,
+                              const u32* st_sd, const u8* st_hn,
                               i32 n_off, i32 seg, i32 start) {
     u32 total = 0;
     u32 k = 0;
     for (i32 i = 0; i < sh.I; ++i) {
         i64 off = sh.profile[seg * sh.prof_stride + i] + start - i;
-        if (off < 0 || off >= n_off) continue;  // stale-state path: count 0
-        if (hn[off]) k = 12;
-        total += cc[off] << k;
+        if (off < 0 || off >= STALE_N) continue;  // past even the ref buffer
+        u32 c;
+        if (off < n_off) {
+            if (hn[off]) k = 12;
+            c = cc[off];
+        } else {
+            if (st_hn[off]) k = 12;
+            c = (u32)sh.counts[st_sd[off]];
+        }
+        total += c << k;
     }
     if (total == 0) total = 9999999u;
     return total;
@@ -156,7 +178,10 @@ struct Sched {
 
 // ReorderSeed + AdjustSeedStartArray (ref: align.cpp:468-524)
 // ``cc2`` receives each chain's counts cache for reuse by the caller.
+// ``seed_state``/``reg_state`` are the [2][STALE_N] stale buffers (see
+// STALE_N comment), read-only here.
 static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
+                          const u32* seed_state, const u8* reg_state,
                           Sched out[2], u32* cc2) {
     i32 L = sh.map_len[r];
     i32 segnum = sh.seedseg[r];
@@ -166,6 +191,8 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
         if (!out[chain].active) continue;
         const u32* sv = sh.seedval + ((i64)r * 2 + chain) * sh.S;
         const u8* hn = sh.has_n + ((i64)r * 2 + chain) * sh.S;
+        const u32* st_sd = seed_state + (i64)chain * STALE_N;
+        const u8* st_hn = reg_state + (i64)chain * STALE_N;
         i32 n_off = sh.n_offsets[r];
         u32* cc = cc2 + (i64)chain * sh.S;
         i32 cap = std::max(max_offset, start_offset_state[chain]);
@@ -182,7 +209,7 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
             for (i32 i = 0; i < max_offset; ++i) {
                 u32 tt = 0;
                 for (i32 seg = 0; seg < segnum; ++seg)
-                    tt += count_seeds(sh, cc, hn, n_off, seg, i);
+                    tt += count_seeds(sh, cc, hn, st_sd, st_hn, n_off, seg, i);
                 if (tt < best) { best = tt; start_offset_state[chain] = i; }
             }
         }
@@ -196,24 +223,28 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
             u32 total = 0xffffffffu;
             sa[ptr] = lo;
             for (i32 ii = lo; ii <= hi; ++ii) {
-                u32 tt = count_seeds(sh, cc, hn, n_off, ptr, ii);
+                u32 tt = count_seeds(sh, cc, hn, st_sd, st_hn, n_off, ptr, ii);
                 if (tt < total) { total = tt; sa[ptr] = ii; }
             }
         }
         // sort segments by (count-as-int, segid)
         std::pair<i32, i32> keys[MAXSNPS + 1];
         for (i32 seg = 0; seg < segnum; ++seg)
-            keys[seg] = { (i32)count_seeds(sh, cc, hn, n_off, seg, sa[seg]), seg };
+            keys[seg] = { (i32)count_seeds(sh, cc, hn, st_sd, st_hn, n_off, seg, sa[seg]), seg };
         std::sort(keys, keys + segnum);
         for (i32 seg = 0; seg < segnum; ++seg) out[chain].order[seg] = keys[seg].second;
     }
 }
 
 // Candidate group (one seed probe); mirrors basal_tpu.align.candidates.CandGroup
+// ``loff`` = starts[seed] resolved AT BUILD TIME: stale-path probes (see
+// schedule_read) read seed values from the persistent stale buffer, which
+// later reads overwrite — consumers must not re-derive the seed from
+// enc.seedval[h].
 struct Group {
-    i64 read, chain, mode, seg, h, start, m, mc, jj0;
+    i64 read, chain, mode, seg, h, start, m, mc, jj0, loff;
 };
-static_assert(sizeof(Group) == 9 * 8, "group layout");
+static_assert(sizeof(Group) == 10 * 8, "group layout");
 
 }  // namespace
 
@@ -231,6 +262,7 @@ i64 bt_build_candidates(
     i32 I, i32 s, i64 max_kmer_num, u32 randseed,
     const i64* profile, i64 prof_stride,
     i32* start_offset_state,
+    u32* seed_state /*[2*STALE_N]*/, u8* reg_state /*[2*STALE_N]*/,
     i32 fill,
     i32* cand_loc, i8* cand_plane, i32* cand_row,
     Group* groups, i64* group_offsets /*[B+1]*/, i64* out_ngroups)
@@ -243,20 +275,55 @@ i64 bt_build_candidates(
     std::vector<u32> cc2((i64)2 * S);
     for (i32 r = 0; r < B; ++r) {
         if (group_offsets) group_offsets[r] = ng;
-        if (filtered[r] || seedseg[r] <= 0) continue;
-        schedule_read(sh, r, start_offset_state, sc, cc2.data());
+        if (filtered[r]) continue;
+        // ConvertBinarySeq effect (align.cpp:153-226): every unfiltered
+        // read overwrites the enabled chains' buffers at [0, L-s] — even
+        // reads with no seed segments (RunAlign converts before probing).
+        {
+            i32 nc = std::min(n_offsets[r], STALE_N);
+            for (int chain = 0; chain < 2; ++chain) {
+                if (!xflag[r * 2 + chain] || nc <= 0) continue;
+                memcpy(seed_state + (i64)chain * STALE_N,
+                       seedval + ((i64)r * 2 + chain) * S, (size_t)nc * 4);
+                memcpy(reg_state + (i64)chain * STALE_N,
+                       has_n + ((i64)r * 2 + chain) * S, (size_t)nc);
+            }
+        }
+        if (seedseg[r] <= 0) {
+            // ReorderSeed still runs with 0 segments: GetTotalSeedLoc
+            // returns 0 for every probe start, so the best-offset search
+            // (when max_offset > 0) resets the sticky start to 0
+            // (align.cpp:475-480).
+            if ((map_len[r] - I + 1) % s > 0)
+                for (int chain = 0; chain < 2; ++chain)
+                    if (xflag[r * 2 + chain]) start_offset_state[chain] = 0;
+            continue;
+        }
+        schedule_read(sh, r, start_offset_state, seed_state, reg_state,
+                      sc, cc2.data());
         u32 rv = myrand_hash(read_index[r], randseed);
         for (int chain = 0; chain < 2; ++chain) {
             if (!sc[chain].active) continue;
             const u32* sv = seedval + ((i64)r * 2 + chain) * S;
             const u32* cc = cc2.data() + (i64)chain * S;
+            const u32* st_sd = seed_state + (i64)chain * STALE_N;
+            i32 n_off = n_offsets[r];
             for (i32 mode = 0; mode < seedseg[r]; ++mode) {
                 i32 seg = sc[chain].order[mode];
                 for (i32 i = 0; i < I; ++i) {
                     i64 off = profile[seg * prof_stride + i]
                               + sc[chain].start_arr[seg] - i;
-                    u32 sd = sv[off];
-                    i64 m = cc[off];
+                    u32 sd;
+                    i64 m;
+                    if (off < n_off) {
+                        sd = sv[off];
+                        m = cc[off];
+                    } else if (off < STALE_N) {
+                        sd = st_sd[off];  // stale-buffer probe (see STALE_N)
+                        m = counts[sd];
+                    } else {
+                        continue;  // past even the reference's 480 entries
+                    }
                     if (m == 0 || m > max_kmer_num) continue;
                     i64 h = off;  // h == seed offset in read (profile+start-i)
                     if (fill == 1) {
@@ -269,7 +336,8 @@ i64 bt_build_candidates(
                     }
                     if (fill)  // 1: full, 2: groups only (lazy)
                         groups[ng] = Group{r, chain, mode, seg, h, flat, m,
-                                           (i64)n1[sd] - 1, (i64)(rv % (u32)m)};
+                                           (i64)n1[sd] - 1, (i64)(rv % (u32)m),
+                                           starts[sd]};
                     flat += m;
                     ++ng;
                 }
@@ -288,8 +356,7 @@ i64 bt_build_candidates(
 // out_off[gi] = base + compact offset for each selected group.
 i64 bt_fill_groups(
     const Group* groups, const i64* sel, i64 n_sel,
-    i32 S, const u32* seedval,
-    const i64* starts, const i32* n1, const u32* locs,
+    const u32* locs,
     i32 pass, i64 base,
     i32* cand_loc, i8* cand_plane, i32* cand_row,
     i64* out_off)
@@ -299,11 +366,10 @@ i64 bt_fill_groups(
         i64 gi = sel[k];
         const Group& g = groups[gi];
         if (pass == 1) {
-            u32 sd = seedval[((i64)g.read * 2 + g.chain) * S + g.h];
-            const u32* lp = locs + starts[sd];
+            const u32* lp = locs + g.loff;  // seed resolved at build time
             for (i64 j = 0; j < g.m; ++j) {
                 cand_loc[cur + j] = (i32)((i64)lp[j] - g.h);
-                cand_plane[cur + j] = (i8)(j >= n1[sd] ? 1 : 0);
+                cand_plane[cur + j] = (i8)(j > g.mc ? 1 : 0);
                 cand_row[cur + j] = (i32)(g.read * 2 + g.chain);
             }
             out_off[gi] = base + cur;
@@ -330,10 +396,8 @@ struct EvalCtx {
     const u32 *baseP, *validP, *mreadP;   // [2B, W] read planes
     const i32* ncnt;                      // [2B] N-count additive term
     i32 W, mode;                          // 0 oneway, 1 multiway, 2 nt3
-    const u32* seedval;                   // [2B, S]
-    i32 S;
-    const i64* starts;                    // index CSR
-    const u32* locs;
+    const u32* locs;                      // index CSR locations (group.loff
+                                          // holds the resolved list start)
     const u32* lenmaskP = nullptr;        // [2B, W] read-length mask plane
     const i32* readlen = nullptr;         // [2B] map_readlen per row
 };
@@ -651,8 +715,7 @@ struct ScanState {
                 // ev->lenmaskP/readlen for the lazy patterns)
                 const EvalCtx* ev = cx->ev;
                 i64 r2 = g.read * 2 + g.chain;
-                u32 sd = ev->seedval[r2 * ev->S + g.h];
-                const u32* lp = ev->locs + ev->starts[sd];
+                const u32* lp = ev->locs + g.loff;  // seed resolved at build
                 for (i64 it = 0; it < m; ++it) {
                     if (it + 4 < m) {  // hide the ref-window DRAM latency
                         i64 jp = jj + 4 >= m ? jj + 4 - m : jj + 4;
@@ -777,8 +840,7 @@ i64 bt_replay_se(
     const u32* ev_ref32, i64 ev_nw,
     const u32* ev_base, const u32* ev_valid, const u32* ev_mread,
     const i32* ev_ncnt, i32 ev_W, i32 ev_mode,
-    const u32* ev_seedval, i32 ev_S,
-    const i64* ev_starts, const u32* ev_locs,
+    const u32* ev_locs,
     const u32* ev_lenmask, const i32* ev_readlen,   // gapped visit-time
     // outputs
     i32* out_stratum, i32* out_n0, i32* out_n1,
@@ -791,8 +853,7 @@ i64 bt_replay_se(
     RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
               seed_size, gap, gap_edge, max_num_hits, nt3};
     EvalCtx ev{ev_ref32, ev_nw, ev_base, ev_valid, ev_mread, ev_ncnt,
-               ev_W, ev_mode, ev_seedval, ev_S, ev_starts, ev_locs,
-               ev_lenmask, ev_readlen};
+               ev_W, ev_mode, ev_locs, ev_lenmask, ev_readlen};
     if (ev_ref32) cx.ev = &ev;
     // reads are independent: thread over contiguous read chunks with
     // per-thread hit sinks, then stitch in read order (bit-identical to
@@ -951,12 +1012,12 @@ i64 bt_replay_pe(
     const i64* counts_off_b,
     // nullable on-demand eval tables (shared genome/index; per-end planes)
     const u32* ev_ref32, i64 ev_nw,
-    const i64* ev_starts, const u32* ev_locs, i32 ev_mode,
+    const u32* ev_locs, i32 ev_mode,
     const u32* ev_base_a, const u32* ev_valid_a, const u32* ev_mread_a,
-    const i32* ev_ncnt_a, i32 ev_W_a, const u32* ev_seedval_a, i32 ev_S_a,
+    const i32* ev_ncnt_a, i32 ev_W_a,
     const u32* ev_lenmask_a, const i32* ev_readlen_a,
     const u32* ev_base_b, const u32* ev_valid_b, const u32* ev_mread_b,
-    const i32* ev_ncnt_b, i32 ev_W_b, const u32* ev_seedval_b, i32 ev_S_b,
+    const i32* ev_ncnt_b, i32 ev_W_b,
     const u32* ev_lenmask_b, const i32* ev_readlen_b,
     // pair outputs
     i32* out_paired,            // [B] RunAlign return (0/1/n)
@@ -978,11 +1039,11 @@ i64 bt_replay_pe(
     RefCtx cxb{anchors, rc_off, sizes, n_chr, counts_b, pos0_b, pos1_b,
                cand_loc_b, seed_size, gap, gap_edge, max_num_hits, nt3};
     EvalCtx eva{ev_ref32, ev_nw, ev_base_a, ev_valid_a, ev_mread_a,
-                ev_ncnt_a, ev_W_a, ev_mode, ev_seedval_a, ev_S_a,
-                ev_starts, ev_locs, ev_lenmask_a, ev_readlen_a};
+                ev_ncnt_a, ev_W_a, ev_mode, ev_locs, ev_lenmask_a,
+                ev_readlen_a};
     EvalCtx evb{ev_ref32, ev_nw, ev_base_b, ev_valid_b, ev_mread_b,
-                ev_ncnt_b, ev_W_b, ev_mode, ev_seedval_b, ev_S_b,
-                ev_starts, ev_locs, ev_lenmask_b, ev_readlen_b};
+                ev_ncnt_b, ev_W_b, ev_mode, ev_locs, ev_lenmask_b,
+                ev_readlen_b};
     if (ev_ref32) { cxa.ev = &eva; cxb.ev = &evb; }
     // pairs are independent: thread over contiguous pair chunks with
     // per-thread sinks (pair records + both ends' hits), stitched in pair
@@ -1866,7 +1927,7 @@ extern "C" i64 bt_eval_candidates_gap(
 {
     const i32 gap2 = 2 * gap;
     EvalCtx ev{ref32, nw, base, valid, mread, ncnt, W, mode,
-               nullptr, 0, nullptr, nullptr, lenmask, readlen};
+               nullptr, lenmask, readlen};
     auto work = [&](i64 c0, i64 c1) {
         for (i64 c = c0; c < c1; ++c) {
             int pl = (int)(u8)plane[c];
@@ -1905,8 +1966,7 @@ extern "C" i64 bt_eval_candidates_gap(
 // equal-candidate boundaries.
 extern "C" i64 bt_fill_eval_groups(
     const Group* groups, const i64* sel, i64 n_sel,
-    i32 S, const u32* seedval,
-    const i64* starts, const i32* n1, const u32* locs,
+    const u32* locs,
     i64 base,
     const u32* ref32, i64 nw,
     const u32* baseP, const u32* validP, const u32* mreadP,
@@ -1922,14 +1982,13 @@ extern "C" i64 bt_fill_eval_groups(
             const Group& g = groups[sel[k]];
             i64 cur = pre[k];
             out_off[sel[k]] = base + cur;
-            u32 sd = seedval[((i64)g.read * 2 + g.chain) * S + g.h];
-            const u32* lp = locs + starts[sd];
+            const u32* lp = locs + g.loff;  // seed resolved at build time
             i64 r = (i64)g.read * 2 + g.chain;
             const u32* b = baseP + r * W;
             const u32* v = validP + r * W;
             const u32* mr = mreadP + r * W;
             const i32 nc = ncnt[r];
-            const i64 nn1 = n1[sd];
+            const i64 nn1 = g.mc + 1;
             for (i64 j = 0; j < g.m; ++j) {
                 if (j + 8 < g.m) {  // hide the ref-window DRAM latency
                     i32 lcp = (i32)((i64)lp[j + 8] - g.h);
@@ -2130,6 +2189,7 @@ extern "C" i64 bt_build_groups_mt(
     i32 I, i32 s, i64 max_kmer_num, u32 randseed,
     const i64* profile, i64 prof_stride,
     i32* start_offset_state,
+    u32* seed_state /*[2*STALE_N]*/, u8* reg_state /*[2*STALE_N]*/,
     Group* groups, i64* group_offsets /*[B+1]*/, i64* out_ngroups,
     i32 n_threads)
 {
@@ -2147,7 +2207,8 @@ extern "C" i64 bt_build_groups_mt(
             B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
             filtered, read_index, starts, counts, n1, locs, I, s,
             max_kmer_num, randseed, profile, prof_stride,
-            start_offset_state, 2, nullptr, nullptr, nullptr,
+            start_offset_state, seed_state, reg_state,
+            2, nullptr, nullptr, nullptr,
             groups, group_offsets, out_ngroups);
 
     Shared sh{B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
@@ -2172,8 +2233,20 @@ extern "C" i64 bt_build_groups_mt(
         i64 flat = 0, ng = 0;
         for (i32 r = r0; r < r1; ++r) {
             go[r - r0] = ng;
-            if (filtered[r] || seedseg[r] <= 0) continue;
-            schedule_read(sh, r, st, sc, cc2.data());
+            if (filtered[r]) continue;
+            if (seedseg[r] <= 0) {
+                // ReorderSeed with 0 segments resets the sticky start to 0
+                // when max_offset > 0 (see bt_build_candidates)
+                if ((map_len[r] - I + 1) % s > 0)
+                    for (int chain = 0; chain < 2; ++chain)
+                        if (xflag[r * 2 + chain]) {
+                            st[chain] = 0;
+                            lset[t * 2 + chain] = 1;
+                            lstate[t * 2 + chain] = 0;
+                        }
+                continue;
+            }
+            schedule_read(sh, r, st, seed_state, reg_state, sc, cc2.data());
             for (int chain = 0; chain < 2; ++chain)
                 if (sc[chain].active && (map_len[r] - I + 1) % s != 0) {
                     lset[t * 2 + chain] = 1;
@@ -2189,12 +2262,12 @@ extern "C" i64 bt_build_groups_mt(
                     for (i32 i = 0; i < I; ++i) {
                         i64 off = profile[seg * prof_stride + i]
                                   + sc[chain].start_arr[seg] - i;
-                        u32 sd = sv[off];
+                        u32 sd = sv[off];  // par mode: off always in-range
                         i64 m = cc[off];
                         if (m == 0 || m > max_kmer_num) continue;
                         gv.push_back(Group{r, chain, mode, seg, off, flat, m,
                                            (i64)n1[sd] - 1,
-                                           (i64)(rv % (u32)m)});
+                                           (i64)(rv % (u32)m), starts[sd]});
                         flat += m;
                         ++ng;
                     }
@@ -2230,6 +2303,27 @@ extern "C" i64 bt_build_groups_mt(
                 start_offset_state[chain] = lstate[t * 2 + chain];
                 break;
             }
+    // outgoing stale buffers: index k holds the seed of the LAST unfiltered
+    // chain-enabled read with L - s >= k — reconstructed by a backwards
+    // cover scan (each read overwrites a prefix, so later reads mask
+    // earlier ones); entries above the batch's total cover keep the
+    // carried-in values.  Equivalent to the serial per-read refresh.
+    for (int chain = 0; chain < 2; ++chain) {
+        i32 cover = 0;
+        for (i32 r = B - 1; r >= 0 && cover < STALE_N; --r) {
+            if (filtered[r] || !xflag[r * 2 + chain]) continue;
+            i32 n = std::min(n_offsets[r], STALE_N);
+            if (n > cover) {
+                memcpy(seed_state + (i64)chain * STALE_N + cover,
+                       seedval + ((i64)r * 2 + chain) * S + cover,
+                       (size_t)(n - cover) * 4);
+                memcpy(reg_state + (i64)chain * STALE_N + cover,
+                       has_n + ((i64)r * 2 + chain) * S + cover,
+                       (size_t)(n - cover));
+                cover = n;
+            }
+        }
+    }
     *out_ngroups = ng;
     return flat;
 }

@@ -146,6 +146,70 @@ def extend_kernel(ref32, loc, plane, row_off, base, valid, mread, lenmask,
                         nw=nw)
 
 
+def derive_lenmask(readlen, W: int):
+    """[U, W] u32 length mask (0b11 per in-length base, first base at bits
+    31:30 — pack_planes_u32 order) derived on device from per-row read
+    lengths, so the host never uploads the lenmask plane."""
+    lanes = jnp.clip(readlen[:, None] - 16 * jnp.arange(W, dtype=readlen.dtype)[None, :],
+                     0, 16).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    # lanes==16 -> full; lanes<16 -> top 2*lanes bits set (shift < 32 safe)
+    return jnp.where(lanes >= 16, full,
+                     full ^ (full >> (2 * jnp.minimum(lanes, 15))))
+
+
+def carve_blob(blob, *, mode: str, gap: int, W: int, C: int, U: int, E: int):
+    """Unpack the single-transfer wave blob (i32 [C + 2U+1 + planes]):
+
+      loc_packed [C]    (strand plane << 31) | loc   (coords < 2^31)
+      row_off    [U+1]
+      rowmeta    [U]    (exc_idx+1 << 20) | (ncnt << 10) | readlen
+                        (readlen/ncnt <= 480 < 1024; <= 4094 exception rows)
+      base       [U*W]  u32 bitcast
+      mread      [U*W]  (multiway only)
+      exc_valid  [E*W]  validity rows of N-containing reads (E >= 1 pad)
+
+    ``valid`` is derived: rows without Ns have valid == lenmask (encode.py:
+    REG_ALPHABET maps ACGT->3, N->0, beyond-read->0), so only exception
+    rows ship their plane.  Returns (loc, plane, row_off, base, valid,
+    mread, lenmask, ncnt, readlen)."""
+    locp = blob[:C]
+    plane = (locp >> 31) & 1
+    loc = locp & 0x7FFFFFFF
+    row_off = blob[C:C + U + 1]
+    nl = blob[C + U + 1:C + 2 * U + 1]
+    readlen = nl & 1023
+    ncnt = (nl >> 10) & 1023
+    exc = (nl >> 20) & 0xFFF
+    rest = jax.lax.bitcast_convert_type(blob[C + 2 * U + 1:], jnp.uint32)
+    base = rest[:U * W].reshape(U, W)
+    k = 1
+    if mode == "multiway":
+        mread = rest[k * U * W:(k + 1) * U * W].reshape(U, W)
+        k += 1
+    else:
+        mread = jnp.zeros((1, W), jnp.uint32)
+    excv = rest[k * U * W:k * U * W + E * W].reshape(E, W)
+    lm = derive_lenmask(readlen, W)
+    valid = jnp.where((exc > 0)[:, None],
+                      jnp.take(excv, jnp.maximum(exc - 1, 0), axis=0), lm)
+    return loc, plane, row_off, base, valid, mread, lm, ncnt, readlen
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw", "C",
+                                             "U", "E"))
+def extend_kernel_blob(ref32, blob, *, mode: str, gap: int, W: int, nw: int,
+                       C: int, U: int, E: int):
+    """Single-transfer entry: ONE i32 blob upload per wave (the remote-TPU
+    tunnel charges ~35 ms per transfer; the old packed entry still made 3),
+    with the strand plane packed into loc bit 31 and the valid/lenmask
+    planes derived on device (carve_blob) — ~30% fewer uplink bytes."""
+    (loc, plane, row_off, base, valid, mread, lm, ncnt,
+     readlen) = carve_blob(blob, mode=mode, gap=gap, W=W, C=C, U=U, E=E)
+    return _extend_core(ref32, loc, plane, row_off, base, valid, mread,
+                        lm, ncnt, readlen, mode=mode, gap=gap, W=W, nw=nw)
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "gap", "W", "nw", "C",
                                              "U", "n_planes"))
 def extend_kernel_packed(ref32, meta, planes, plane_u8, *, mode: str,

@@ -195,6 +195,37 @@ def _gap_kernel(mode: str, W: int, gap: int, K: int,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("mode", "gap", "W", "nw", "C", "U", "E",
+                                    "interpret"))
+def extend_gap_pallas_blob(ref32, blob, *, mode: str, gap: int, W: int,
+                           nw: int, C: int, U: int, E: int,
+                           interpret: bool = False):
+    """Single-transfer gapped entry (see ops.extend.carve_blob): one i32
+    blob upload per wave, strand plane in loc bit 31, valid/lenmask derived
+    on device."""
+    from .extend import carve_blob
+    (loc, plane, row_off, base, valid, mread, lenmask, ncnt,
+     readlen) = carve_blob(blob, mode=mode, gap=gap, W=W, C=C, U=U, E=E)
+    return _gap_core(ref32, loc, plane, row_off, base, valid, mread,
+                     lenmask, ncnt, readlen, mode=mode, gap=gap, W=W,
+                     nw=nw, C=C, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mode", "W", "nw", "C", "U", "E",
+                                    "interpret"))
+def extend_counts_pallas_blob(ref32, blob, *, mode: str, W: int, nw: int,
+                              C: int, U: int, E: int,
+                              interpret: bool = False):
+    """Single-transfer ungapped entry (see ops.extend.carve_blob)."""
+    from .extend import carve_blob
+    (loc, plane, row_off, base, valid, mread, _lm, ncnt,
+     _rl) = carve_blob(blob, mode=mode, gap=0, W=W, C=C, U=U, E=E)
+    return _counts_core(ref32, loc, plane, row_off, base, valid, mread,
+                        ncnt, mode=mode, W=W, nw=nw, interpret=interpret)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("mode", "gap", "W", "nw", "C", "U",
                                     "n_planes", "interpret"))
 def extend_gap_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
@@ -206,8 +237,6 @@ def extend_gap_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
     Default on TPU (measured 1.88x over the XLA gapped kernel at
     production shapes, tools/pallasbench.py 20 gap: 768 vs 1443 ms per
     2^20 candidates); BASAL_TPU_PALLAS_GAP=0 forces XLA."""
-    from .extend import K_POS
-    K = K_POS
     loc = meta[:C]
     row_off = meta[C:C + U + 1]
     ncnt = meta[C + U + 1:C + 2 * U + 1]
@@ -221,12 +250,21 @@ def extend_gap_pallas_packed(ref32, meta, planes, plane_u8, *, mode: str,
     else:
         mread = jnp.zeros((1, planes.shape[1]), jnp.uint32)
     lenmask = planes[k * U:(k + 1) * U]
+    return _gap_core(ref32, loc, plane_u8, row_off, base, valid, mread,
+                     lenmask, ncnt, readlen, mode=mode, gap=gap, W=W,
+                     nw=nw, C=C, interpret=interpret)
 
+
+def _gap_core(ref32, loc, plane, row_off, base, valid, mread, lenmask,
+              ncnt, readlen, *, mode: str, gap: int, W: int, nw: int,
+              C: int, interpret: bool):
+    from .extend import K_POS
+    K = K_POS
     row = (jnp.searchsorted(row_off, jnp.arange(C, dtype=row_off.dtype),
                             side="right") - 1).astype(jnp.int32)
     k0 = (loc >> 4) - 1
     sh2 = ((loc & 15) << 1).astype(jnp.int32)[:, None]
-    gidx = plane_u8.astype(jnp.int32) * jnp.int32(nw) + k0
+    gidx = plane.astype(jnp.int32) * jnp.int32(nw) + k0
     idx = gidx[:, None] + jnp.arange(W + 3, dtype=jnp.int32)[None, :]
     r = jnp.take(ref32, idx)                           # XLA gather [C, W+3]
     b = jnp.take(base, row, axis=0)

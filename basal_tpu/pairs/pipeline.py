@@ -230,6 +230,7 @@ class PairEndAligner:
         self.rng = MyRand(params.randseed)
         self.sched_a = SeedScheduler(params, index, self.rng)
         self.sched_b = SeedScheduler(params, index, self.rng)
+        # (_stale_seeds: see align.pipeline.SingleEndAligner._stale_seeds)
         self._dev = None  # lazy: host-eval runs must never claim a device
         self.nt_hint = 0  # C++ thread width (0 = all cores); see SE runner
         self.replayer = Replayer(params, ref, self.rng)
@@ -309,10 +310,13 @@ class PairEndAligner:
             # pre-trim state exactly; RawBatch buffers are never mutated
             orig = None if raw else [(r.seq, r.qual) for r in reads_a]
             state0 = self.native_a.state.copy()
+            sst0 = self.native_a.seed_state.copy()
+            rst0 = self.native_a.reg_state.copy()
             enc_a = encode_batch(p, reads_a)
             ens = getattr(self.index, "ensure_batch", None)
             if ens is not None:
-                ens(enc_a)
+                ens(enc_a, extra=self._stale_seeds(self.native_a,
+                                                   self.sched_a))
             groups, goff, total = self.native_a.build_groups(enc_a, ridx)
             if (total and host_eval_policy(p, total)) \
                     or total <= self.MAX_BATCH_CANDS:
@@ -322,6 +326,8 @@ class PairEndAligner:
                     reads_a, reads_b, pre_a=(enc_a, groups, goff, total))
             self.stage["batches_split"] += 1
             self.native_a.state[:] = state0
+            self.native_a.seed_state[:] = sst0
+            self.native_a.reg_state[:] = rst0
             if orig is not None:
                 for r, (s, q) in zip(reads_a, orig):
                     r.seq, r.qual = s, q
@@ -334,6 +340,11 @@ class PairEndAligner:
             return b"".join(out)
         return self._align_batch_inner(reads_a, reads_b)
 
+    @staticmethod
+    def _stale_seeds(nb, sched):
+        st = nb.seed_state if nb is not None else sched.seed_state
+        return st.reshape(-1)
+
     def _align_batch_inner(self, reads_a, reads_b, pre_a=None) -> bytes:
         p = self.p
         enc_a = pre_a[0] if pre_a is not None else encode_batch(p, reads_a)
@@ -341,8 +352,10 @@ class PairEndAligner:
         ens = getattr(self.index, "ensure_batch", None)
         if ens is not None:  # shard-resident index: routed fetch per mate
             if pre_a is None:
-                ens(enc_a)
-            ens(enc_b)
+                ens(enc_a, extra=self._stale_seeds(self.native_a,
+                                                   self.sched_a))
+            ens(enc_b, extra=self._stale_seeds(self.native_b,
+                                               self.sched_b))
         if self.native_a is not None:
             return self._align_batch_native(
                 enc_a, enc_b,

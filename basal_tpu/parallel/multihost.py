@@ -389,7 +389,7 @@ class RoutedSeedIndex:
                                          daemon=True)
             self._svc.start()
 
-    def ensure_batch(self, enc, wait: bool = True) -> None:
+    def ensure_batch(self, enc, wait: bool = True, extra=None) -> None:
         """One batched routing round: fetch every not-yet-present k-mer this
         batch's seed probes can touch (enc.seedval holds the value at every
         start offset, so the query set is complete before any index read).
@@ -397,12 +397,19 @@ class RoutedSeedIndex:
         the network; only foreign-range queries enter the service thread's
         next collective round.
 
+        ``extra`` (optional u32 array) joins the query set — the caller
+        passes the scheduler's stale seed buffers, whose values come from a
+        PREVIOUS batch's reads and may not appear in this batch's seedval
+        (the stale-seed-array quirk; see align.candidates.SeedScheduler).
+
         ``wait=False`` posts the query and returns immediately — the reply
         lands while the caller does other work (e.g. the previous batch's
         finish phase); call ``wait_batch()`` before ANY index read.  Only
         one posted query may be outstanding."""
         nk = self.params.total_kmers
         q = enc.seedval.reshape(-1)
+        if extra is not None and len(extra):
+            q = np.concatenate([q, np.asarray(extra, q.dtype).reshape(-1)])
         q = np.unique(q[q < nk]).astype(np.uint32)
         q = q[~self._have[q]]
         self.rounds += 1

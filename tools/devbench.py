@@ -1,0 +1,142 @@
+"""Device-path end-to-end bench: BASAL_TPU_HOST_EVAL=0 (every wave on the
+TPU through the tunnel), recorded per round in DEVBENCH.json so the device
+path has its own regression line and cannot rot behind the host evaluator
+(VERDICT r02 "keep the device path honest").
+
+Same data/profile as bench.py's random profile, smaller read budget (the
+device path is tunnel-bound at ~35 ms/transfer + ~50 MB/s uplink).  Prints
+one JSON line and writes DEVBENCH.json at the repo root:
+
+  {"metric": "device-path reads/s ...", "value": N, "unit": "reads/s",
+   "passes": [...], "sam_equality": 1.0, "blob": true}
+
+Usage:  python tools/devbench.py          (needs the TPU tunnel)
+        BENCH_READS=100000 python tools/devbench.py
+        BASAL_TPU_BLOB=0 python tools/devbench.py   (pre-blob upload format)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+os.environ["BASAL_TPU_HOST_EVAL"] = "0"      # every wave on the device
+
+N_READS = int(os.environ.get("BENCH_READS", 150_000))
+BATCH = int(os.environ.get("BENCH_BATCH", 25_000))
+PASSES = int(os.environ.get("BENCH_PASSES", 3))
+
+
+def log(m):
+    print(f"[devbench] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    # reuse bench.py's dataset builder (same genome/reads => comparable)
+    import bench
+    work = ROOT / ".oracle" / "benchdata"
+    work.mkdir(parents=True, exist_ok=True)
+    ref_fa, reads_fq = bench.make_data(work)
+
+    import jax
+    log(f"jax devices: {jax.devices()}")
+    platform = jax.devices()[0].platform
+
+    from basal_tpu.align.pipeline import SingleEndAligner
+    from basal_tpu.config import AlignParams
+    from basal_tpu.index.reference import load_reference
+    from basal_tpu.index.seedindex import build_index
+    from basal_tpu.reads.io import open_reads
+
+    p = AlignParams(conversion="A:G", randseed=1, verbose_level=0)
+    ref = load_reference(str(ref_fa), p)
+    idx = build_index(ref, p)
+    al = SingleEndAligner(p, ref, idx)
+
+    rd = open_reads(str(reads_fq), p)
+    # warmup: chip claim + jit compiles at the bucketed wave shapes
+    b = rd.next_batch(BATCH)
+    t0 = time.time()
+    sam = [al.align_batch(b)]
+    log(f"warmup batch: {time.time()-t0:.1f}s")
+    n_warm = len(b)
+    blob = bool(getattr(al._dev, "use_blob", False)) if al._dev else None
+
+    def one_pass(collect):
+        r2 = open_reads(str(reads_fq), p)
+        skipped = 0
+        while skipped < n_warm:
+            got = len(r2.next_batch(min(BATCH, n_warm - skipped)))
+            if not got:
+                break
+            skipped += got
+        n = 0
+        t0 = time.time()
+        outs = []
+        while n < N_READS - n_warm:
+            b = r2.next_batch(min(BATCH, N_READS - n_warm - n))
+            if not b:
+                break
+            st = al.submit_batch(b)
+            out = al.finish_batch_prefetched(st, al.prefetch_state(st))
+            if collect:
+                outs.append(out)
+            n += len(b)
+        r2.close()
+        return n, time.time() - t0, outs
+
+    # untimed collection pass (equality + residual first-pass costs)
+    n, dt, outs = one_pass(collect=True)
+    sam += outs
+    log(f"equality pass (untimed): {n} reads in {dt:.1f}s = {n/dt:.0f} r/s")
+
+    rates = []
+    for rep in range(PASSES):
+        n, dt, _ = one_pass(collect=False)
+        rates.append(n / dt)
+        log(f"pass {rep}: {n} reads in {dt:.1f}s = {n/dt:.0f} reads/s")
+    med = sorted(rates)[len(rates) // 2]
+
+    # SAM equality vs oracle on the warmup+collected range
+    eq = None
+    oracle = bench.ensure_oracle()
+    if oracle:
+        import subprocess
+        osam = work / "devbench_oracle.sam"
+        subprocess.run(
+            [str(oracle), "-d", str(ref_fa), "-a", str(reads_fq),
+             "-M", "A:G", "-S", "1", "-V", "0", "-p", "1",
+             "-E", str(n_warm + n), "-o", str(osam)],
+            check=True, capture_output=True)
+        from basal_tpu.align.sam import sam_header
+        ours = (sam_header(ref, p, "devbench").encode("latin1")
+                + b"".join(sam)).decode("latin1")
+        ours_recs = [l for l in ours.splitlines()
+                     if l and not l.startswith("@")]
+        want_recs = [l for l in osam.read_text().splitlines()
+                     if l and not l.startswith("@")]
+        hit = sum(1 for a, b2 in zip(ours_recs, want_recs) if a == b2)
+        eq = hit / max(len(want_recs), len(ours_recs), 1)
+        log(f"SAM equality: {hit}/{max(len(want_recs), len(ours_recs))}")
+
+    out = {
+        "metric": "device-path reads/s (BASAL_TPU_HOST_EVAL=0, 100bp SE "
+                  "-M A:G, random profile)",
+        "value": round(med, 1),
+        "unit": "reads/s",
+        "passes": [round(r) for r in rates],
+        "platform": platform,
+        "blob": blob,
+        "sam_equality": eq,
+        "n_reads": n_warm + n,
+    }
+    print(json.dumps(out))
+    (ROOT / "DEVBENCH.json").write_text(json.dumps(out) + "\n")
+
+
+if __name__ == "__main__":
+    main()
