@@ -95,10 +95,23 @@ def main():
     log(f"equality pass (untimed): {n} reads in {dt:.1f}s = {n/dt:.0f} r/s")
 
     rates = []
+    ab = os.environ.get("BENCH_AB") == "1"
+    ab_rates = {True: [], False: []}
     for rep in range(PASSES):
+        if ab:  # interleaved blob on/off: same-window comparison, the
+            # tunnel's 30% pass-to-pass variance cancels across pairs
+            al._dev.use_blob = bool(blob) and (rep % 2 == 0)
         n, dt, _ = one_pass(collect=False)
         rates.append(n / dt)
-        log(f"pass {rep}: {n} reads in {dt:.1f}s = {n/dt:.0f} reads/s")
+        if ab:
+            ab_rates[al._dev.use_blob].append(n / dt)
+        log(f"pass {rep}{' blob=' + str(al._dev.use_blob) if ab else ''}: "
+            f"{n} reads in {dt:.1f}s = {n/dt:.0f} reads/s")
+    if ab:
+        for k, v in ab_rates.items():
+            if v:
+                log(f"blob={k}: median {sorted(v)[len(v)//2]:.0f} reads/s")
+        al._dev.use_blob = bool(blob)
     med = sorted(rates)[len(rates) // 2]
 
     # SAM equality vs oracle on the warmup+collected range
