@@ -417,6 +417,7 @@ class SingleEndAligner:
             "dedup_saved": 0,    # duplicate (row,loc,plane) uploads avoided
             "waves_device": 0, "waves_host": 0, "waves_visit": 0,
             "eager_batches": 0, "ladder_batches": 0, "ladder_waves": 0,
+            "fused_batches": 0,  # single-pass build+eval+scan (C++)
         }
         from ..native import NativeBatch, native_available
         if use_native is None:
@@ -500,6 +501,17 @@ class SingleEndAligner:
         from ..reads.io import RawBatch
         ridx = (enc.reads.indices if isinstance(enc.reads, RawBatch)
                 else np.array([r.index for r in enc.reads], dtype=np.uint32))
+        if self._fused_host():
+            # single-pass C++ schedule + group build + visit-time scan:
+            # no candidate buffers, and modes past each read's resolution
+            # stratum are never evaluated (see bt_align_se_host)
+            res, n_enum, n_eval = self.native.align_se_host(
+                enc, ridx, self.ref, n_threads=self.nt_hint)
+            self.total_candidates += n_enum
+            self.stage["cand_visit"] += n_eval
+            self.stage["waves_visit"] += 1
+            self.stage["fused_batches"] += 1
+            return ("fused", enc, res)
         groups, goff, total = self.native.build_groups(enc, ridx)
         ng = groups.shape[0]
         off = np.full(ng, -1, dtype=np.int64)
@@ -552,6 +564,28 @@ class SingleEndAligner:
     # host wins a wave when its measured cost/candidate is below this
     # fraction of the device's (hysteresis against routing flapping)
     HOST_DEV_MARGIN = 0.7
+
+    def _fused_host(self) -> bool:
+        """Whether this batch should take the fused single-pass host path
+        (bt_align_se_host).  Engages exactly when every wave would land on
+        the host evaluator anyway: HOST_EVAL=1 forces, jax-on-cpu in auto
+        mode, or the measured placement has settled on the host.  Gapped
+        runs take it whenever visit-time eval is enabled (the auto default
+        for ANY volume — see the gap comment in submit_batch).
+        BASAL_TPU_FUSED=0 reverts to the split build/eval/replay pipeline
+        (the golden twin the differential tests also exercise)."""
+        if os.environ.get("BASAL_TPU_FUSED", "1") in ("", "0"):
+            return False
+        mode = os.environ.get("BASAL_TPU_HOST_EVAL", "auto")
+        if mode == "0":
+            return False
+        if self.p.gap > 0:
+            return _inline_tail_enabled()
+        if mode == "1":
+            return True
+        if _cpu_backend():
+            return True
+        return self.measured_placement() == "host"
 
     def collapse_now(self) -> int:
         """Synchronously collapse the index tables into hugepages (see
@@ -660,7 +694,7 @@ class SingleEndAligner:
         """Block on the wave-1 device results for a submitted state (device
         usage stays serialized with the caller); the remaining pure-host work
         can then run in a side thread via finish_batch_prefetched."""
-        if state[0] == "py" or state[6] is None:
+        if state[0] in ("py", "fused") or state[6] is None:
             return None
         if isinstance(state[6], tuple) and state[6][0] == "inline":
             return None  # no wave-1 results: all-visit-time replay
@@ -678,6 +712,8 @@ class SingleEndAligner:
     def finish_batch(self, state) -> bytes:
         if state[0] == "py":
             return self._align_batch_python(state[1])
+        if state[0] == "fused":
+            return self._emit_native(state[1], [(None, state[2])])
         return self._finish_with(state, self.prefetch_state(state))
 
     def _finish_with(self, state, fetched) -> str:
@@ -939,7 +975,8 @@ def stage_report(aligners) -> str:
             f"visit {s['waves_visit']} "
             f"| batches: eager {s['eager_batches']} "
             f"ladder {s['ladder_batches']} "
-            f"(ladder waves {s['ladder_waves']})")
+            f"(ladder waves {s['ladder_waves']}) "
+            f"fused {s['fused_batches']}")
 
 
 def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,

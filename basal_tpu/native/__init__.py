@@ -75,6 +75,7 @@ def get_lib():
     lib.bt_pack_ref.restype = ctypes.c_int64
     lib.bt_build_seed_index.restype = ctypes.c_int64
     lib.bt_build_groups_mt.restype = ctypes.c_int64
+    lib.bt_align_se_host.restype = ctypes.c_int64
     lib.bt_scan_fastq.restype = ctypes.c_int64
     lib.bt_sam_to_bam.restype = ctypes.c_int64
     lib.bt_bam_to_sam.restype = ctypes.c_int64
@@ -427,6 +428,70 @@ class NativeBatch:
             ctypes.c_int32(min(_ncpu(), 8)))
         del sv  # fill_groups re-reads it from enc._sv_cache (per-batch)
         return groups[:int(ng.value)], goff, int(total)
+
+    def align_se_host(self, enc, read_indices, ref, n_threads=0):
+        """Fused single-pass SE host alignment (bt_align_se_host): seed
+        scheduling + group build + full visit-time scan in one cache-hot
+        C++ pass.  Returns (replay-result tuple, n_enumerated, n_evaluated).
+        Exact semantics of build_groups + fill_eval_groups/inline replay;
+        the split pipeline remains the golden twin (tests compare both)."""
+        lib = get_lib()
+        p = self.p
+        B = len(enc.reads)
+        if n_threads <= 0:
+            n_threads = min(_ncpu(), 8)
+        args_common, sv = self._common_args(enc, read_indices)
+        ev = self._eval_args(enc, True)
+        # drop the locs slot (the fused entry reuses the index locs arg)
+        ev = ev[:8] + ev[9:]
+        out_stratum = np.empty(B, np.int32)
+        out_n0 = np.empty(B, np.int32)
+        out_n1 = np.empty(B, np.int32)
+        ncand = np.zeros(2, np.int64)
+        hit_cap = max(B * 8, 4096)
+        state0 = self.state.copy()
+        sst0 = self.seed_state.copy()
+        rst0 = self.reg_state.copy()
+        while True:
+            hit_chr = np.empty(hit_cap, np.int32)
+            hit_loc = np.empty(hit_cap, np.int32)
+            hit_gsz = np.empty(hit_cap, np.int32)
+            hit_gpos = np.empty(hit_cap, np.int32)
+            hit_chain = np.empty(hit_cap, np.uint8)
+            hoff = np.empty(B + 1, np.int64)
+            ncand[:] = 0
+            rc = lib.bt_align_se_host(
+                *args_common, _p(self.state, ctypes.c_int32),
+                _p(self.seed_state, ctypes.c_uint32),
+                _p(self.reg_state, ctypes.c_uint8),
+                _p(self.anchors, ctypes.c_int64),
+                ctypes.c_int32(len(self.anchors)),
+                _p(self.rc_off, ctypes.c_int64),
+                _p(self.sizes, ctypes.c_int64),
+                _p(enc.read_max_snp, ctypes.c_int32),
+                ctypes.c_int32(p.seed_size), ctypes.c_int32(p.gap),
+                ctypes.c_int32(p.gap_edge), ctypes.c_int32(p.max_num_hits),
+                ctypes.c_int32(1 if p.nt3 else 0),
+                *ev,
+                _p(out_stratum, ctypes.c_int32), _p(out_n0, ctypes.c_int32),
+                _p(out_n1, ctypes.c_int32),
+                ctypes.c_int64(hit_cap),
+                _p(hit_chr, ctypes.c_int32), _p(hit_loc, ctypes.c_int32),
+                _p(hit_gsz, ctypes.c_int32), _p(hit_gpos, ctypes.c_int32),
+                _p(hit_chain, ctypes.c_uint8), _p(hoff, ctypes.c_int64),
+                _p(ncand, ctypes.c_int64),
+                ctypes.c_int32(n_threads))
+            if rc == 0:
+                break
+            # retry with a larger hit buffer: the scheduler state was
+            # mutated by the failed pass — restore the snapshot first
+            self.state[:] = state0
+            self.seed_state[:] = sst0
+            self.reg_state[:] = rst0
+            hit_cap *= 4
+        res = (out_stratum, out_n0, out_n1,
+               hit_chr, hit_loc, hit_gsz, hit_gpos, hit_chain, hoff)
+        return res, int(ncand[0]), int(ncand[1])
 
     def fill_groups(self, enc, groups, sel, off, base=0):
         """Materialize candidate arrays for the selected group indices,

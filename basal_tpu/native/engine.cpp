@@ -579,6 +579,7 @@ struct ScanState {
     const i64* counts_off = nullptr;  // logical group -> compact buffer base
     i64 g_lo, g_hi;
     i32 L, rms, snp_thres, segnum;
+    i64 n_eval = 0;                   // visit-time evaluations (stats only)
     std::vector<H> buckets[2][MAXSNPS + 1];
     std::unordered_set<u64> seen;
     bool last_abort = false;
@@ -716,6 +717,7 @@ struct ScanState {
                 const EvalCtx* ev = cx->ev;
                 i64 r2 = g.read * 2 + g.chain;
                 const u32* lp = ev->locs + g.loff;  // seed resolved at build
+                n_eval += m;
                 for (i64 it = 0; it < m; ++it) {
                     if (it + 4 < m) {  // hide the ref-window DRAM latency
                         i64 jp = jj + 4 >= m ? jj + 4 - m : jj + 4;
@@ -2326,6 +2328,247 @@ extern "C" i64 bt_build_groups_mt(
     }
     *out_ngroups = ng;
     return flat;
+}
+
+// ---------------------------------------------------------------------------
+// Fused single-pass SE host alignment: per read, seed scheduling + candidate
+// group build + the full RunAlign scan with VISIT-TIME evaluation (EvalCtx),
+// in one cache-hot pass.  Replaces the build_groups -> fill_eval -> replay
+// triple when placement is the host evaluator: no Group/loc/count buffers
+// round-trip through DRAM, and candidates of modes past each read's
+// resolution stratum are never evaluated at all (the reference's pigeonhole
+// early stop, align.cpp:459-466, applied to evaluation cost — the split
+// pipeline eagerly evaluated every wave-1 candidate).
+//
+// Threading mirrors bt_build_groups_mt: parallel over read chunks only when
+// no unfiltered read has (map_len - I + 1) % s == 0 (the stale-seed-buffer
+// quirk makes scheduling cross-read sequential otherwise); the serial path
+// keeps exact per-read stale-buffer updates.  Hit output uses the same
+// order-stitched per-thread sinks as bt_replay_se (bit-identical to serial).
+//
+// Returns 0 ok, -1 if hit_cap is insufficient — the caller must restore
+// start_offset_state/seed_state/reg_state from a snapshot and retry.
+// out_ncand[0] += candidates enumerated, out_ncand[1] += evaluated.
+extern "C" i64 bt_align_se_host(
+    i32 B, i32 S,
+    const u32* seedval, const u8* has_n, const i32* n_offsets,
+    const i32* map_len, const i32* seedseg, const u8* xflag,
+    const u8* filtered, const u32* read_index,
+    const i64* starts, const i32* counts, const i32* n1, const u32* locs,
+    i32 I, i32 s, i64 max_kmer_num, u32 randseed,
+    const i64* profile, i64 prof_stride,
+    i32* start_offset_state,
+    u32* seed_state /*[2*STALE_N]*/, u8* reg_state /*[2*STALE_N]*/,
+    // scan/ref context
+    const i64* anchors, i32 n_chr, const i64* rc_off, const i64* sizes,
+    const i32* read_max_snp,
+    i32 seed_size, i32 gap, i32 gap_edge, i32 max_num_hits, i32 nt3,
+    // eval tables (always required here: every candidate evaluates at visit)
+    const u32* ev_ref32, i64 ev_nw,
+    const u32* ev_base, const u32* ev_valid, const u32* ev_mread,
+    const i32* ev_ncnt, i32 ev_W, i32 ev_mode,
+    const u32* ev_lenmask, const i32* ev_readlen,
+    // outputs (bt_replay_se layout)
+    i32* out_stratum, i32* out_n0, i32* out_n1,
+    i64 hit_cap,
+    i32* hit_chr, i32* hit_loc, i32* hit_gsz, i32* hit_gpos, u8* hit_chain,
+    i64* hit_offsets /*[B+1]*/,
+    i64* out_ncand /*[2]*/,
+    i32 n_threads)
+{
+    Shared sh{B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
+              filtered, read_index, starts, counts, n1, locs,
+              I, s, 0, 0, 0, 0, max_kmer_num, randseed, profile, prof_stride};
+    RefCtx cx{anchors, rc_off, sizes, n_chr, nullptr, nullptr, nullptr,
+              nullptr, seed_size, gap, gap_edge, max_num_hits, nt3};
+    EvalCtx ev{ev_ref32, ev_nw, ev_base, ev_valid, ev_mread, ev_ncnt,
+               ev_W, ev_mode, locs, ev_lenmask, ev_readlen};
+    cx.ev = &ev;
+
+    bool par = n_threads > 1 && B >= 2048;
+    if (par) {
+        for (i32 r = 0; r < B; ++r)
+            if (!filtered[r] && seedseg[r] > 0
+                && (map_len[r] - I + 1) % s == 0) {
+                par = false;
+                break;
+            }
+    }
+    i32 nt = par ? n_threads : 1;
+    if (nt > B) nt = B > 0 ? B : 1;
+
+    struct Sink {
+        std::vector<i32> chr, loc, gsz, gpos;
+        std::vector<u8> chain;
+        i64 ncand = 0, neval = 0;
+        i32 st[2];
+        i32 lstate[2] = {0, 0};
+        u8 lset[2] = {0, 0};
+    };
+    std::vector<Sink> sinks(nt);
+    i64 per = ((i64)B + nt - 1) / nt;
+
+    auto work = [&](i32 t) {
+        Sink& sk = sinks[t];
+        i32 r0 = (i32)std::min<i64>((i64)t * per, B);
+        i32 r1 = (i32)std::min<i64>(r0 + per, B);
+        sk.st[0] = start_offset_state[0];
+        sk.st[1] = start_offset_state[1];
+        Sched sc[2];
+        std::vector<u32> cc2((i64)2 * S);
+        std::vector<Group> lg;
+        lg.reserve(64);
+        ScanState scan;
+        for (i32 r = r0; r < r1; ++r) {
+            out_stratum[r] = 0; out_n0[r] = 0; out_n1[r] = 0;
+            if (filtered[r]) { out_stratum[r] = -1; continue; }
+            if (!par) {
+                // exact serial stale-buffer refresh (ConvertBinarySeq
+                // effect — see bt_build_candidates)
+                i32 nc = std::min(n_offsets[r], STALE_N);
+                for (int chain = 0; chain < 2; ++chain) {
+                    if (!xflag[r * 2 + chain] || nc <= 0) continue;
+                    memcpy(seed_state + (i64)chain * STALE_N,
+                           seedval + ((i64)r * 2 + chain) * S,
+                           (size_t)nc * 4);
+                    memcpy(reg_state + (i64)chain * STALE_N,
+                           has_n + ((i64)r * 2 + chain) * S, (size_t)nc);
+                }
+            }
+            if (seedseg[r] <= 0) {
+                if ((map_len[r] - I + 1) % s > 0)
+                    for (int chain = 0; chain < 2; ++chain)
+                        if (xflag[r * 2 + chain]) {
+                            sk.st[chain] = 0;
+                            sk.lset[chain] = 1;
+                            sk.lstate[chain] = 0;
+                        }
+                continue;
+            }
+            schedule_read(sh, r, sk.st, seed_state, reg_state, sc,
+                          cc2.data());
+            if (par)
+                for (int chain = 0; chain < 2; ++chain)
+                    if (sc[chain].active && (map_len[r] - I + 1) % s != 0) {
+                        sk.lset[chain] = 1;
+                        sk.lstate[chain] = sk.st[chain];
+                    }
+            u32 rv = myrand_hash(read_index[r], randseed);
+            lg.clear();
+            for (int chain = 0; chain < 2; ++chain) {
+                if (!sc[chain].active) continue;
+                const u32* sv = seedval + ((i64)r * 2 + chain) * S;
+                const u32* cc = cc2.data() + (i64)chain * S;
+                const u32* st_sd = seed_state + (i64)chain * STALE_N;
+                i32 n_off = n_offsets[r];
+                for (i32 mode = 0; mode < seedseg[r]; ++mode) {
+                    i32 seg = sc[chain].order[mode];
+                    for (i32 i = 0; i < I; ++i) {
+                        i64 off = profile[seg * prof_stride + i]
+                                  + sc[chain].start_arr[seg] - i;
+                        u32 sd;
+                        i64 m;
+                        if (off < n_off) {
+                            sd = sv[off];
+                            m = cc[off];
+                        } else if (off < STALE_N) {
+                            sd = st_sd[off];  // stale probe (serial only)
+                            m = counts[sd];
+                        } else {
+                            continue;
+                        }
+                        if (m == 0 || m > max_kmer_num) continue;
+                        // start = -1 marks never-materialized: the scan
+                        // evaluates these candidates at visit time
+                        lg.push_back(Group{r, chain, mode, seg, off, -1, m,
+                                           (i64)n1[sd] - 1,
+                                           (i64)(rv % (u32)m), starts[sd]});
+                        sk.ncand += m;
+                    }
+                }
+            }
+            if (lg.empty()) continue;
+            scan.init(&cx, lg.data(), 0, (i64)lg.size(),
+                      map_len[r], read_max_snp[r], seedseg[r]);
+            scan.counts_off = nullptr;
+            scan.n_eval = 0;
+            scan.run_all();
+            sk.neval += scan.n_eval;
+            i32 best = scan.best_stratum();
+            out_stratum[r] = best;
+            if (best > scan.rms) continue;
+            out_n0[r] = (i32)scan.buckets[0][best].size();
+            out_n1[r] = (i32)scan.buckets[1][best].size();
+            for (int c = 0; c < 2; ++c)
+                for (const H& h : scan.buckets[c][best]) {
+                    sk.chr.push_back(h.chr); sk.loc.push_back(h.loc);
+                    sk.gsz.push_back(h.gsz); sk.gpos.push_back(h.gpos);
+                    sk.chain.push_back((u8)c);
+                }
+        }
+    };
+    if (nt == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < nt; ++t) ts.emplace_back(work, t);
+        for (auto& th : ts) th.join();
+    }
+
+    i64 total = 0;
+    for (auto& s2 : sinks) total += (i64)s2.chr.size();
+    if (total > hit_cap) return -1;
+    i64 hw = 0;
+    for (i32 r = 0; r < B; ++r) {
+        hit_offsets[r] = hw;
+        hw += out_n0[r] + out_n1[r];
+    }
+    hit_offsets[B] = hw;
+    i64 bw = 0;
+    for (auto& s2 : sinks) {
+        i64 n = (i64)s2.chr.size();
+        if (n) {
+            std::memcpy(hit_chr + bw, s2.chr.data(), n * sizeof(i32));
+            std::memcpy(hit_loc + bw, s2.loc.data(), n * sizeof(i32));
+            std::memcpy(hit_gsz + bw, s2.gsz.data(), n * sizeof(i32));
+            std::memcpy(hit_gpos + bw, s2.gpos.data(), n * sizeof(i32));
+            std::memcpy(hit_chain + bw, s2.chain.data(), n);
+        }
+        bw += n;
+        out_ncand[0] += s2.ncand;
+        out_ncand[1] += s2.neval;
+    }
+    if (par) {
+        // outgoing sticky start: last thread that set it wins (serial order)
+        for (int chain = 0; chain < 2; ++chain)
+            for (i32 t = nt - 1; t >= 0; --t)
+                if (sinks[t].lset[chain]) {
+                    start_offset_state[chain] = sinks[t].lstate[chain];
+                    break;
+                }
+        // outgoing stale buffers: backwards cover scan (see
+        // bt_build_groups_mt)
+        for (int chain = 0; chain < 2; ++chain) {
+            i32 cover = 0;
+            for (i32 r = B - 1; r >= 0 && cover < STALE_N; --r) {
+                if (filtered[r] || !xflag[r * 2 + chain]) continue;
+                i32 n = std::min(n_offsets[r], STALE_N);
+                if (n > cover) {
+                    memcpy(seed_state + (i64)chain * STALE_N + cover,
+                           seedval + ((i64)r * 2 + chain) * S + cover,
+                           (size_t)(n - cover) * 4);
+                    memcpy(reg_state + (i64)chain * STALE_N + cover,
+                           has_n + ((i64)r * 2 + chain) * S + cover,
+                           (size_t)(n - cover));
+                    cover = n;
+                }
+            }
+        }
+    } else {
+        start_offset_state[0] = sinks[0].st[0];
+        start_offset_state[1] = sinks[0].st[1];
+    }
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

@@ -337,17 +337,41 @@ def reg2bins(beg: int, end: int) -> List[int]:
     return out
 
 
+def _read_block_at(fh, coff: int) -> Tuple[bytes, int]:
+    """Read + decompress the single BGZF block at compressed offset ``coff``
+    (fh must be seekable).  Returns (uncompressed_chunk, block_size)."""
+    fh.seek(coff)
+    hdr = fh.read(18)
+    if len(hdr) < 18:
+        raise ValueError(f"truncated BGZF block header at {coff}")
+    if hdr[:4] != b"\x1f\x8b\x08\x04" or hdr[12:16] != b"\x42\x43\x02\x00":
+        raise ValueError(f"bad BGZF magic at {coff}")
+    bsize = struct.unpack_from("<H", hdr, 16)[0] + 1
+    rest = fh.read(bsize - 18)
+    if len(rest) < bsize - 18:
+        raise ValueError(f"truncated BGZF block at {coff}")
+    return zlib.decompress(rest[:-8], -15), bsize
+
+
 def fetch_sam_lines(bam_path: str, ref: str, beg: int, end: int,
-                    bai_path: str = None) -> List[str]:
-    """Region query: SAM lines of records overlapping [beg, end) (0-based),
-    using the .bai to skip non-overlapping BGZF blocks."""
-    from .bamio import read_bgzf
+                    bai_path: str = None, stats: dict = None) -> List[str]:
+    """Region query: SAM lines of records overlapping [beg, end) (0-based).
+
+    Seeks directly to the compressed offsets of the .bai's candidate chunks
+    (samtools bam_fetch, /root/reference/samtools/bam_index.c:523-553:
+    bam_seek to each chunk's beg voff, read until its end voff) — only the
+    BGZF blocks covering the selected chunks are read and decompressed, and
+    memory is bounded by one chunk's in-flight records.  Pass ``stats`` (a
+    dict) to receive {"compressed_bytes_read", "blocks_read"} for I/O
+    accounting (tests assert a small fraction of the file is touched).
+    """
     from ..native import bam_records_to_sam
     bai_path = bai_path or bam_path + ".bai"
     it = iter_bam_records_voff(bam_path)
     _, _text, refs = next(it)
     it.close()
-    tids = {nm: i for i, (nm, _) in enumerate(refs)}
+    names = [nm for nm, _ in refs]
+    tids = {nm: i for i, nm in enumerate(names)}
     if ref not in tids:
         return []
     tid = tids[ref]
@@ -363,48 +387,103 @@ def fetch_sam_lines(bam_path: str, ref: str, beg: int, end: int,
             if v > min_off:
                 chunks.append((max(u, min_off), v))
     chunks.sort()
-    # decode: walk blocks once, decode records inside candidate chunks
-    raw = read_bgzf(bam_path)
-    # map voffset -> uncompressed position
-    starts, coffs = [], []
-    pos = 0
-    for coff, chunk in iter_bgzf_blocks(bam_path):
-        starts.append(pos)
-        coffs.append(coff)
-        pos += len(chunk)
-
-    def upos(voff):
-        i = bisect_right(coffs, voff >> 16) - 1
-        return starts[i] + (voff & 0xFFFF)
-
-    out = []
-    seen_end = 0
+    # coalesce overlapping/adjacent chunks (voff order == file order) so no
+    # block is decompressed twice and no record decoded twice
+    merged: List[List[int]] = []
     for u, v in chunks:
-        p = max(upos(u), seen_end)
-        stop = upos(v)
-        while p < stop and p + 4 <= len(raw):
-            sz = struct.unpack_from("<i", raw, p)[0]
-            rec = raw[p:p + 4 + sz]
-            rtid, rpos = struct.unpack_from("<ii", rec, 4)
-            l_rn, _mq = rec[12], rec[13]
-            n_cig = struct.unpack_from("<H", rec, 16)[0]
-            rlen = 0
-            co = 36 + l_rn
-            for i in range(n_cig):
-                cv = struct.unpack_from("<I", rec, co + 4 * i)[0]
-                if (cv & 0xF) in (0, 2, 3, 7, 8):
-                    rlen += cv >> 4
-            rend = rpos + (rlen if rlen else 1)
-            if rtid == tid and rpos < end and rend > beg:
-                body = bam_records_to_sam(memoryview(bytes(rec)),
-                                          [nm for nm, _ in refs])
-                if body is None:
-                    from .bamio import decode_bam_to_sam  # pragma: no cover
-                    raise ValueError("record decode failed")
-                out.append(body.decode("latin1").rstrip("\n"))
-            elif rtid > tid or (rtid == tid and rpos >= end):
+        if merged and u <= merged[-1][1]:
+            if v > merged[-1][1]:
+                merged[-1][1] = v
+        else:
+            merged.append([u, v])
+
+    n_cbytes = 0
+    n_blocks = 0
+    out: List[str] = []
+    with open(bam_path, "rb") as fh:
+        for u, v in merged:
+            coff = u >> 16
+            chunk, bsize = _read_block_at(fh, coff)
+            n_cbytes += bsize
+            n_blocks += 1
+            next_coff = coff + bsize
+            buf = bytearray(chunk)
+            # block table for stream-pos -> voff (record starts only, so the
+            # containing-block convention suffices; see module docstring for
+            # why boundary records still compare >= v correctly)
+            blk_starts = [0]
+            blk_coffs = [coff]
+            p = u & 0xFFFF
+            base = 0  # stream position of buf[0]
+            while True:
+                # voff of the record start at stream position p
+                bi = bisect_right(blk_starts, p) - 1
+                rv = (blk_coffs[bi] << 16) | (p - blk_starts[bi])
+                if rv >= v:
+                    break
+                # ensure the 4-byte size, then the whole record
+                need = p - base + 4
+                eof = False
+                while len(buf) < need:
+                    try:
+                        chunk, bsize = _read_block_at(fh, next_coff)
+                    except ValueError:
+                        eof = True
+                        break
+                    n_cbytes += bsize
+                    n_blocks += 1
+                    blk_starts.append(base + len(buf))
+                    blk_coffs.append(next_coff)
+                    next_coff += bsize
+                    buf.extend(chunk)
+                    if not chunk and bsize:
+                        continue  # empty (EOF-marker) block mid-stream
+                if eof or len(buf) < need:
+                    break
+                sz = struct.unpack_from("<i", buf, p - base)[0]
+                need = p - base + 4 + sz
+                while len(buf) < need:
+                    chunk, bsize = _read_block_at(fh, next_coff)
+                    n_cbytes += bsize
+                    n_blocks += 1
+                    blk_starts.append(base + len(buf))
+                    blk_coffs.append(next_coff)
+                    next_coff += bsize
+                    buf.extend(chunk)
+                o = p - base
+                rtid, rpos = struct.unpack_from("<ii", buf, o + 4)
+                l_rn = buf[o + 12]
+                n_cig = struct.unpack_from("<H", buf, o + 16)[0]
+                rlen = 0
+                co = o + 36 + l_rn
+                for i in range(n_cig):
+                    cv = struct.unpack_from("<I", buf, co + 4 * i)[0]
+                    if (cv & 0xF) in (0, 2, 3, 7, 8):
+                        rlen += cv >> 4
+                rend = rpos + (rlen if rlen else 1)
+                if rtid == tid and rpos < end and rend > beg:
+                    rec = bytes(buf[o:o + 4 + sz])
+                    body = bam_records_to_sam(memoryview(rec), names)
+                    if body is None:  # pragma: no cover
+                        raise ValueError("record decode failed")
+                    out.append(body.decode("latin1").rstrip("\n"))
+                elif rtid > tid or (rtid == tid and rpos >= end):
+                    # coordinate-sorted: nothing later can overlap — stop
+                    # the whole fetch (bam_fetch's ret>0 break)
+                    if stats is not None:
+                        stats["compressed_bytes_read"] = n_cbytes
+                        stats["blocks_read"] = n_blocks
+                    return out
                 p += 4 + sz
-                break
-            p += 4 + sz
-        seen_end = max(seen_end, p)
+                # bound memory: drop consumed blocks behind p
+                bi = bisect_right(blk_starts, p) - 1
+                if bi > 0:
+                    drop = blk_starts[bi] - base
+                    del buf[:drop]
+                    base += drop
+                    del blk_starts[:bi]
+                    del blk_coffs[:bi]
+    if stats is not None:
+        stats["compressed_bytes_read"] = n_cbytes
+        stats["blocks_read"] = n_blocks
     return out

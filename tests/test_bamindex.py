@@ -105,6 +105,37 @@ def test_bai_roundtrip_no_samtools(tmp_path):
                for l in fetch_sam_lines(str(bam), "chr1", pos, pos + L))
 
 
+def test_region_query_seeks_not_scans(tmp_path):
+    """The .bai must SAVE I/O: a narrow region query on a large BAM reads
+    only the BGZF blocks covering the selected chunks (samtools bam_fetch
+    seek semantics, /root/reference/samtools/bam_index.c:523-553) — not the
+    whole file.  Asserts <5% of the compressed bytes are touched."""
+    rng = random.Random(46)
+    bam = tmp_path / "big.bam"
+    _make_sorted_bam(bam, rng, n_per_chr=60000, with_no_coor=False,
+                     skip_chr=())
+    build_index(str(bam))
+    fsize = bam.stat().st_size
+    assert fsize > 4_000_000  # big enough that 5% is a real bound
+    stats = {}
+    got = fetch_sam_lines(str(bam), "chr2", 1_000_000, 1_010_000,
+                          stats=stats)
+    assert got  # ~600 reads expected in a 10kb window at this density
+    assert all(l.split("\t")[2] == "chr2" for l in got)
+    frac = stats["compressed_bytes_read"] / fsize
+    assert frac < 0.05, f"read {frac:.1%} of the file for a 10kb region"
+    # and the result equals the scan-everything answer (same bam_calend
+    # rule: cigar "*" records span 1 bp)
+    full = fetch_sam_lines(str(bam), "chr2", 0, REFS[1][1])
+
+    def _rend(f):
+        return int(f[3]) - 1 + (len(f[9]) if f[5] != "*" else 1)
+    exp = [l for l in full
+           if int(l.split("\t")[3]) - 1 < 1_010_000
+           and _rend(l.split("\t")) > 1_000_000]
+    assert got == exp
+
+
 def test_bamutil_streaming_sort_and_view(tmp_path):
     """External spill-merge sort == in-memory stable sort, streaming view
     filters, index subcommand, region view via CLI."""

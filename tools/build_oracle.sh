@@ -27,3 +27,6 @@ for s in align refbase main pairs param reads utilities; do
 done
 g++ $FLAGS align.o refbase.o main.o pairs.o param.o reads.o utilities.o -o $OUT/basal -lpthread -L$OUT/obj/samtools -lbam -L$OUT/obj/gzstream -lgzstream -lz
 echo "oracle built: $OUT/basal"
+# vendored samtools binary: independent validator for our BAM/.bai writers
+# (tests/test_bamindex.py must never skip — VERDICT r03 item 6)
+bash "$(dirname "$0")/build_samtools.sh"
