@@ -117,17 +117,21 @@ def strand_from_gembs(xb: str, flag: int) -> str:
     return ""
 
 
-def iter_sam_lines(path: str) -> Iterable[str]:
+def iter_sam_lines(path: str, ref: Optional[Dict[str, str]] = None
+                   ) -> Iterable[str]:
     up = path.upper()
     if up.endswith(".SAM"):
         yield from open(path)
     elif up.endswith(".CRAM"):
         # The reference accepts CRAM by shelling out to `samtools view`
-        # (basalkit_functions.py:163-166).  We have no CRAM decoder —
-        # refuse explicitly rather than misparse the container as BAM.
-        raise SystemExit(
-            f"CRAM input is not supported ({path}); convert to BAM first, "
-            "e.g.: samtools view -b -T ref.fa in.cram > in.bam")
+        # (basalkit_functions.py:163-166).  We decode CRAM 3.0 natively
+        # (toolkit/cram.py: gzip/bzip2/lzma/rANS4x8 codecs); sequence
+        # reconstruction uses the loaded reference genome.  CRAM 3.1
+        # codecs are refused inside the decoder with a clear message.
+        from .cram import iter_cram_sam_lines
+        for line in iter_cram_sam_lines(path, ref):
+            if not line.startswith("@"):
+                yield line
     elif up.endswith(".BAM"):
         from .bamio import iter_bam_sam_lines
         for line in iter_bam_sam_lines(path):
@@ -296,7 +300,7 @@ class AvgMod:
         disp(f"Load Alignment: {path}")
         nline = 0
         batch = []
-        for line in iter_sam_lines(path):
+        for line in iter_sam_lines(path, self.ref):
             nline += 1
             info = self._load_read(line)
             if info is None:
@@ -405,7 +409,7 @@ class AvgMod:
     def _add_file_slow(self, path: str):
         disp(f"Load Alignment: {path}")
         nline = 0
-        for line in iter_sam_lines(path):
+        for line in iter_sam_lines(path, self.ref):
             nline += 1
             info = self._load_read(line)
             if info is None:

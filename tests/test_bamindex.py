@@ -166,9 +166,15 @@ def test_bamutil_streaming_sort_and_view(tmp_path):
     assert got == exp
 
 
-def test_avgmod_cram_refused(tmp_path):
+def test_avgmod_cram_unsupported_refused(tmp_path):
+    """CRAM 3.0 now decodes natively (toolkit/cram.py); unsupported
+    versions and CRAM 3.1 codecs must still refuse with a clear message
+    instead of misparsing."""
     from basal_tpu.toolkit.avgmod import iter_sam_lines
     p = tmp_path / "x.cram"
-    p.write_bytes(b"CRAM\x03\x00junk")
-    with pytest.raises(SystemExit, match="CRAM input is not supported"):
+    p.write_bytes(b"CRAM\x04\x00" + b"\x00" * 20)  # future major version
+    with pytest.raises(SystemExit, match="unsupported version"):
         list(iter_sam_lines(str(p)))
+    from basal_tpu.toolkit.cram import _decompress_block
+    with pytest.raises(SystemExit, match="rans4x16"):
+        _decompress_block(5, b"\x00", 1)

@@ -1,0 +1,188 @@
+"""CRAM 3.0 codec tests: varints, rANS4x8, container round-trips across
+every compression method and structural option, and avgmod TSV parity
+CRAM == BAM == SAM on real oracle-aligned data.
+
+The environment has no CRAM-capable samtools (the vendored copy is 0.1.18,
+pre-CRAM) and no pysam, so external-writer differentials are impossible
+here; the decoder is validated against spec-driven fixtures produced by our
+own writer, which exercises every codec/encoding path the reader supports
+(raw/gzip/bzip2/lzma/rANS4x8-O0/O1, EXTERNAL/HUFFMAN/BYTE_ARRAY_LEN/
+BYTE_ARRAY_STOP/BETA, detached + NF mates, multi-ref and embedded-ref
+slices)."""
+
+import io
+import random
+
+import pytest
+
+from basal_tpu.toolkit import cram
+
+from conftest import (convert_reads, have_oracle, make_fastq, make_ref,
+                      random_genome, run_oracle)
+
+
+def test_varints():
+    for v in [0, 1, 127, 128, 16383, 16384, 2 ** 21 - 1, 2 ** 28 - 1,
+              2 ** 28, 2 ** 31 - 1, -1, -2, -100000, -(2 ** 31)]:
+        enc = cram.itf8_encode(v)
+        dec, pos = cram.itf8_decode(enc, 0)
+        assert dec == v and pos == len(enc), (v, dec, enc.hex())
+    for v in [0, 1, 127, 128, 2 ** 14, 2 ** 21, 2 ** 28, 2 ** 35, 2 ** 42,
+              2 ** 49, 2 ** 56, 2 ** 60, (1 << 63) - 1]:
+        enc = cram.ltf8_encode(v)
+        dec, pos = cram.ltf8_decode(enc, 0)
+        assert dec == v and pos == len(enc), (v, dec, enc.hex())
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_rans_roundtrip(order):
+    rng = random.Random(7 + order)
+    cases = [
+        bytes([65] * 1000),                                   # single symbol
+        bytes(rng.randrange(256) for _ in range(997)),        # dense, n%4!=0
+        bytes(rng.choice(b"ACGT") for _ in range(4096)),      # small alphabet
+        bytes(rng.choice(b"AACCCGT!") for _ in range(3)),     # n < 4
+        bytes([0, 0, 1, 2, 255, 254] * 100 + [7]),            # sym 0 + rle
+        b"x",
+        bytes(rng.choice(b"AB") for _ in range(2)),
+        bytes(rng.choice(bytes(range(32))) for _ in range(65536)),  # big
+    ]
+    for i, d in enumerate(cases):
+        blob = cram.rans_compress(d, order)
+        assert cram.rans_decompress(blob) == d, (order, i, len(d))
+
+
+def _mk_sam(seed=11, n=200):
+    rng = random.Random(seed)
+    ref = {"chr1": "".join(rng.choice("ACGT") for _ in range(5000)),
+           "chr2": "".join(rng.choice("ACGT") for _ in range(3000))}
+    header = ("@HD\tVN:1.0\tSO:unsorted\n@SQ\tSN:chr1\tLN:5000\n"
+              "@SQ\tSN:chr2\tLN:3000\n")
+    lines = []
+    for i in range(n):
+        cr = "chr1" if i % 4 else "chr2"
+        pos = 1 + (i * 17) % 2000
+        ln = 50
+        seq = list(ref[cr][pos - 1:pos - 1 + ln])
+        cig = f"{ln}M"
+        if i % 3 == 0:
+            seq[5] = "A" if seq[5] != "A" else "G"
+        if i % 5 == 0:
+            seq = list("TT") + seq
+            cig = f"2S{ln}M"
+        q = "".join(chr(33 + (i + j) % 40) for j in range(len(seq)))
+        lines.append("\t".join(
+            [f"r{i}", str(16 if i % 2 else 0), cr, str(pos), "42", cig,
+             "*", "0", "0", "".join(seq), q, "ZS:Z:++", "NM:i:2",
+             f"XL:i:{i}"]))
+    return header + "\n".join(lines) + "\n", ref
+
+
+@pytest.mark.parametrize("method",
+                         ["raw", "gzip", "bzip2", "lzma", "rans0", "rans1"])
+def test_cram_roundtrip_methods(tmp_path, method):
+    sam, ref = _mk_sam()
+    p = str(tmp_path / "t.cram")
+    cram.write_cram(p, io.StringIO(sam), ref, method=method,
+                    records_per_slice=64)
+    out = cram.read_cram_to_sam(p, ref)
+    orig = [l for l in sam.split("\n") if l and not l.startswith("@")]
+    got = [l for l in out.split("\n") if l and not l.startswith("@")]
+    assert orig == got
+
+
+def _structural_sam():
+    rng = random.Random(13)
+    ref = {"chr1": "".join(rng.choice("ACGT") for _ in range(5000))}
+    g = ref["chr1"]
+    header = "@HD\tVN:1.0\n@SQ\tSN:chr1\tLN:5000\n"
+    lines = [
+        # proper pair with explicit mate fields
+        "p1\t99\tchr1\t100\t40\t50M\t=\t200\t150\t" + g[99:149] +
+        "\t" + "I" * 50 + "\tZS:Z:++",
+        "p1\t147\tchr1\t200\t40\t50M\t=\t100\t-150\t" + g[199:249] +
+        "\t" + "J" * 50 + "\tZS:Z:+-",
+        # insertion + deletion + soft clip
+        "ind1\t0\tchr1\t500\t60\t10M2I10M3D20M5S\t*\t0\t0\t" +
+        g[499:509] + "GG" + g[509:519] + g[522:542] + "ACGTA" +
+        "\t" + "K" * 47,
+        # intron + hard clip, reverse strand
+        "spl1\t16\tchr1\t1000\t50\t5H20M100N20M\t*\t0\t0\t" +
+        g[999:1019] + g[1119:1139] + "\t" + "L" * 40,
+        # unmapped with and without sequence
+        "u1\t4\t*\t0\t0\t*\t*\t0\t0\tACGTACGTAC\tMMMMMMMMMM",
+        "u2\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*",
+        # mapped, no quality string
+        "nq1\t0\tchr1\t300\t30\t20M\t*\t0\t0\t" + g[299:319] + "\t*",
+        # float and array tags
+        "tg1\t0\tchr1\t400\t20\t10M\t*\t0\t0\t" + g[399:409] +
+        "\t" + "N" * 10 + "\tXF:f:2.5\tXB:B:c,1,-2,3\tXA:A:z",
+    ]
+    return header + "\n".join(lines) + "\n", ref
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(method="gzip"),
+    dict(method="rans1"),
+    dict(method="gzip", use_nf=True),       # NF mate-downstream links
+    dict(method="rans0", core_series=False),  # MQ external, no core bits
+    dict(method="gzip", embed_ref=True),    # embedded-reference slices
+])
+def test_cram_roundtrip_structural(tmp_path, kwargs):
+    sam, ref = _structural_sam()
+    p = str(tmp_path / "t.cram")
+    cram.write_cram(p, io.StringIO(sam), ref, records_per_slice=3, **kwargs)
+    dec_ref = None if kwargs.get("embed_ref") else ref
+    out = cram.read_cram_to_sam(p, dec_ref)
+    orig = [l for l in sam.split("\n") if l and not l.startswith("@")]
+    got = [l for l in out.split("\n") if l and not l.startswith("@")]
+    assert orig == got, kwargs
+
+
+def test_cram_header_preserved(tmp_path):
+    sam, ref = _mk_sam(n=5)
+    p = str(tmp_path / "t.cram")
+    cram.write_cram(p, io.StringIO(sam), ref)
+    hdr = [l for l in cram.read_cram_to_sam(p, ref).split("\n")
+           if l.startswith("@")]
+    assert hdr == [l for l in sam.split("\n") if l.startswith("@")]
+
+
+@pytest.mark.skipif(not have_oracle(), reason="oracle not built")
+@pytest.mark.parametrize("method", ["gzip", "rans1"])
+def test_avgmod_cram_parity(tmp_path, rng, method):
+    """avgmod on a CRAM of BASAL-aligned reads produces the identical TSV
+    to the BAM and SAM paths (reference behavior: CRAM via samtools view,
+    /root/reference/basalkit_functions.py:163-166)."""
+    g = random_genome(rng, 6000)
+    make_ref(tmp_path / "ref.fa", [("chr1", g)])
+    reads = convert_reads(rng, g, 80, 80, "C:T", rate=0.6, sub_rate=0.01,
+                          revcomp_frac=0.4)
+    make_fastq(tmp_path / "reads.fq", reads)
+    r = run_oracle(["-a", "reads.fq", "-d", "ref.fa", "-M", "C:T", "-V", "0",
+                    "-S", "1", "-u", "-o", "aln.sam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+
+    sam_text = (tmp_path / "aln.sam").read_text()
+    cram.write_cram(str(tmp_path / "aln.cram"), io.StringIO(sam_text),
+                    {"chr1": g.upper()}, method=method,
+                    records_per_slice=37)
+
+    from basal_tpu.toolkit import bamutil
+    bamutil.sort(str(tmp_path / "aln.sam"), str(tmp_path / "aln.bam"))
+
+    import os
+    from basal_tpu.toolkit.cli import main
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for inp, out in (("aln.sam", "o_sam"), ("aln.bam", "o_bam"),
+                         ("aln.cram", "o_cram")):
+            main(["avgmod", inp, "ref.fa", "-M", "C:T", "-o", out,
+                  "-m", "1"])
+    finally:
+        os.chdir(old)
+    want = (tmp_path / "o_sam_AvgMod.tsv").read_text()
+    assert (tmp_path / "o_cram_AvgMod.tsv").read_text() == want
+    assert (tmp_path / "o_bam_AvgMod.tsv").read_text() == want
+    assert want.count("\n") > 3
