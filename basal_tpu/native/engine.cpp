@@ -24,6 +24,10 @@
 #include <immintrin.h>
 #define BT_SIMD512 1
 #endif
+#if defined(__BMI2__)
+#include <immintrin.h>
+#define BT_BMI2 1
+#endif
 
 using u8 = uint8_t;
 using i8 = int8_t;
@@ -1267,6 +1271,25 @@ extern "C" i64 bt_scan_fastq(
     return nrec;
 }
 
+// Pack 16 consecutive 2-bit codes (one byte each, values <= 3) into a u32,
+// first byte in the most significant lane — the twin of the scalar
+// (w << 2) | c loop.  BMI2: bswap puts byte 0 in the MSB, pext gathers the
+// low 2 bits of each byte.
+static inline u32 pack16_2b(const u8* s) {
+#ifdef BT_BMI2
+    u64 lo, hi;
+    std::memcpy(&lo, s, 8);
+    std::memcpy(&hi, s + 8, 8);
+    const u64 M = 0x0303030303030303ull;
+    return (u32)((_pext_u64(__builtin_bswap64(lo), M) << 16)
+                 | _pext_u64(__builtin_bswap64(hi), M));
+#else
+    u32 w = 0;
+    for (int j = 0; j < 16; ++j) w = (w << 2) | s[j];
+    return w;
+#endif
+}
+
 // Batch read encoder: chars -> device planes + per-offset seed arrays.
 // Twin of basal_tpu.reads.encode.encode_batch's packing half
 // (ref: ConvertBina[r]ySeq, align.cpp:79-226) in one multithreaded pass.
@@ -1287,8 +1310,11 @@ i64 bt_encode_batch(
     i32 n_threads)
 {
     const i32 S = lmax - seed_size + 1;
+    const i32 lpad = W * 16;  // packed words cover [0, W*16); pad the
+                              // per-read byte buffers so the 16-at-a-time
+                              // packers never read past the end
     auto work = [&](i32 r0, i32 r1) {
-        std::vector<u8> code(lmax), vld(lmax), mrd(lmax);
+        std::vector<u8> code(lpad, 0), vld(lpad, 0), mrd(lpad, 0);
         std::vector<u8> chbuf;
         if (seq_off) chbuf.resize(lmax);
         for (i32 r = r0; r < r1; ++r) {
@@ -1333,18 +1359,15 @@ i64 bt_encode_batch(
                 u32* mp = mread + row * W;
                 u32* lp = lenmask + row * W;
                 for (i32 w = 0; w < W; ++w) {
-                    u32 bw = 0, vw = 0, mw = 0, lw = 0;
                     i32 p0 = w * 16;
-                    for (i32 j = 0; j < 16; ++j) {
-                        i32 p = p0 + j;
-                        u8 c = p < lmax ? code[p] : 0;
-                        u8 v = p < lmax ? vld[p] : 0;
-                        u8 m = p < lmax ? mrd[p] : 0;
-                        bw = (bw << 2) | c;
-                        vw = (vw << 2) | v;
-                        mw = (mw << 2) | m;
-                        lw = (lw << 2) | (p < L ? 3u : 0u);
-                    }
+                    u32 bw = pack16_2b(code.data() + p0);
+                    u32 vw = pack16_2b(vld.data() + p0);
+                    u32 mw = pack16_2b(mrd.data() + p0);
+                    // lenmask: 3s for positions < L, MSB-first
+                    i32 rem = L - p0;
+                    u32 lw = rem >= 16 ? 0xFFFFFFFFu
+                           : rem <= 0 ? 0u
+                           : 0xFFFFFFFFu << (32 - 2 * rem);
                     if (nt3) bw -= (bw << 1) & bw & 0xAAAAAAAAu;  // XT32
                     bp[w] = bw; vp[w] = vw; mp[w] = mw; lp[w] = lw;
                 }
