@@ -1271,23 +1271,55 @@ extern "C" i64 bt_scan_fastq(
     return nrec;
 }
 
-// Pack 16 consecutive 2-bit codes (one byte each, values <= 3) into a u32,
-// first byte in the most significant lane — the twin of the scalar
-// (w << 2) | c loop.  BMI2: bswap puts byte 0 in the MSB, pext gathers the
-// low 2 bits of each byte.
-static inline u32 pack16_2b(const u8* s) {
+// Pack one 2-bit field from 16 consecutive fused bytes into a u32, first
+// byte in the most significant lane — the twin of the scalar
+// (w << 2) | ((s[j] >> shift) & 3) loop.  BMI2: bswap puts byte 0 in the
+// MSB, pext gathers the selected 2 bits of each byte.  `bits` is the
+// per-byte field mask (0x03 / 0x0c / 0x30).
+static inline u32 pack16_sel(const u8* s, u8 bits) {
 #ifdef BT_BMI2
     u64 lo, hi;
     std::memcpy(&lo, s, 8);
     std::memcpy(&hi, s + 8, 8);
-    const u64 M = 0x0303030303030303ull;
+    const u64 M = 0x0101010101010101ull * bits;
     return (u32)((_pext_u64(__builtin_bswap64(lo), M) << 16)
                  | _pext_u64(__builtin_bswap64(hi), M));
 #else
+    int sh = __builtin_ctz(bits);
     u32 w = 0;
-    for (int j = 0; j < 16; ++j) w = (w << 2) | s[j];
+    for (int j = 0; j < 16; ++j) w = (w << 2) | ((s[j] >> sh) & 3u);
     return w;
 #endif
+}
+
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#define BT_VBMI 1
+#endif
+
+// 256-entry byte LUT over a buffer.  VBMI: four 64-entry vpermb tables
+// selected by the index's top two bits (permutexvar uses the low 6 bits).
+static inline void lut256_apply(const u8* lut, const u8* in, u8* out,
+                                i32 n) {
+    i32 i = 0;
+#ifdef BT_VBMI
+    __m512i t0 = _mm512_loadu_si512(lut);
+    __m512i t1 = _mm512_loadu_si512(lut + 64);
+    __m512i t2 = _mm512_loadu_si512(lut + 128);
+    __m512i t3 = _mm512_loadu_si512(lut + 192);
+    for (; i + 64 <= n; i += 64) {
+        __m512i c = _mm512_loadu_si512(in + i);
+        __mmask64 k6 = _mm512_test_epi8_mask(c, _mm512_set1_epi8(0x40));
+        __mmask64 k7 = _mm512_movepi8_mask(c);
+        __m512i r01 = _mm512_mask_blend_epi8(
+            k6, _mm512_permutexvar_epi8(c, t0),
+            _mm512_permutexvar_epi8(c, t1));
+        __m512i r23 = _mm512_mask_blend_epi8(
+            k6, _mm512_permutexvar_epi8(c, t2),
+            _mm512_permutexvar_epi8(c, t3));
+        _mm512_storeu_si512(out + i, _mm512_mask_blend_epi8(k7, r01, r23));
+    }
+#endif
+    for (; i < n; ++i) out[i] = lut[in[i]];
 }
 
 // Batch read encoder: chars -> device planes + per-offset seed arrays.
@@ -1313,10 +1345,18 @@ i64 bt_encode_batch(
     const i32 lpad = W * 16;  // packed words cover [0, W*16); pad the
                               // per-read byte buffers so the 16-at-a-time
                               // packers never read past the end
+    // fused per-direction LUTs: code | valid<<2 | mread<<4 in one byte —
+    // one table walk (vectorized in lut256_apply) instead of three, and
+    // the planes pack straight out of the fused buffer via pext masks
+    u8 lut_f[256], lut_r[256];
+    for (int c = 0; c < 256; ++c) {
+        lut_f[c] = (u8)(alphabet[c] | (reg[c] << 2) | (mread_fwd[c] << 4));
+        lut_r[c] = (u8)(rev_alphabet[c] | (reg[c] << 2)
+                        | (mread_rev[c] << 4));
+    }
     auto work = [&](i32 r0, i32 r1) {
-        std::vector<u8> code(lpad, 0), vld(lpad, 0), mrd(lpad, 0);
-        std::vector<u8> chbuf;
-        if (seq_off) chbuf.resize(lmax);
+        std::vector<u8> fb(lpad, 0);    // fused bytes; [lmax, lpad) stays 0
+        std::vector<u8> chbuf(lmax), rbuf(lmax);
         for (i32 r = r0; r < r1; ++r) {
             i32 L = map_len[r];
             const u8* ch;
@@ -1331,27 +1371,18 @@ i64 bt_encode_batch(
                 // chain 0: as-is through alphabet; chain 1: reversed read
                 // through rev_alphabet (align.cpp:193-199)
                 if (chain == 0) {
-                    i32 nbad_r = 0;
-                    for (i32 i = 0; i < lmax; ++i) {
-                        u8 c = ch[i];
-                        code[i] = alphabet[c];
-                        vld[i] = reg[c];
-                        mrd[i] = mread_fwd[c];
-                        nbad_r += (i < L) & (vld[i] == 0);
+                    lut256_apply(lut_f, ch, fb.data(), lmax);
+                    if (ncnt_out) {
+                        i32 nbad_r = 0;
+                        for (i32 i = 0; i < L; ++i)
+                            nbad_r += ((fb[i] & 12) == 0);
+                        ncnt_out[r] = nbad_r;
                     }
-                    if (ncnt_out) ncnt_out[r] = nbad_r;
                 } else {
-                    for (i32 i = 0; i < L; ++i) {
-                        u8 c = ch[L - 1 - i];
-                        code[i] = rev_alphabet[c];
-                        vld[i] = reg[c];
-                        mrd[i] = mread_rev[c];
-                    }
-                    for (i32 i = L; i < lmax; ++i) {
-                        code[i] = rev_alphabet['N'];
-                        vld[i] = reg['N'];
-                        mrd[i] = mread_rev['N'];
-                    }
+                    for (i32 i = 0; i < L; ++i) rbuf[i] = ch[L - 1 - i];
+                    if (L < lmax)
+                        memset(rbuf.data() + L, 'N', (size_t)(lmax - L));
+                    lut256_apply(lut_r, rbuf.data(), fb.data(), lmax);
                 }
                 i64 row = (i64)r * 2 + chain;
                 u32* bp = base + row * W;
@@ -1360,9 +1391,9 @@ i64 bt_encode_batch(
                 u32* lp = lenmask + row * W;
                 for (i32 w = 0; w < W; ++w) {
                     i32 p0 = w * 16;
-                    u32 bw = pack16_2b(code.data() + p0);
-                    u32 vw = pack16_2b(vld.data() + p0);
-                    u32 mw = pack16_2b(mrd.data() + p0);
+                    u32 bw = pack16_sel(fb.data() + p0, 0x03);
+                    u32 vw = pack16_sel(fb.data() + p0, 0x0c);
+                    u32 mw = pack16_sel(fb.data() + p0, 0x30);
                     // lenmask: 3s for positions < L, MSB-first
                     i32 rem = L - p0;
                     u32 lw = rem >= 16 ? 0xFFFFFFFFu
@@ -1377,20 +1408,20 @@ i64 bt_encode_batch(
                 u32 val = 0, pow_top = 1, nbad = 0;
                 for (i32 j = 0; j < seed_size - 1; ++j) pow_top *= 3;
                 for (i32 j = 0; j < seed_size && j < lmax; ++j) {
-                    u8 c = code[j];
+                    u8 c = fb[j] & 3;
                     val = val * 3 + (c == 3 ? 1 : c);
-                    nbad += (vld[j] == 0);
+                    nbad += ((fb[j] & 12) == 0);
                 }
                 for (i32 i = 0; i < S; ++i) {
                     sv[i] = val;
                     hn[i] = nbad > 0;
                     if (i + 1 < S) {
-                        u8 cold = code[i];
-                        u8 cnew = code[i + seed_size];
+                        u8 cold = fb[i] & 3;
+                        u8 cnew = fb[i + seed_size] & 3;
                         val = (val - (u32)(cold == 3 ? 1 : cold) * pow_top) * 3
                               + (cnew == 3 ? 1 : cnew);
-                        nbad -= (vld[i] == 0);
-                        nbad += (vld[i + seed_size] == 0);
+                        nbad -= ((fb[i] & 12) == 0);
+                        nbad += ((fb[i + seed_size] & 12) == 0);
                     }
                 }
             }
