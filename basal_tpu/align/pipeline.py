@@ -126,6 +126,8 @@ class DeviceContext:
                 pass
         self.params = params
         self.nw = ref.ref32.shape[1]
+        self.ref_host = ref          # watchdog host-fallback evaluation
+        self.stalls = 0              # device fetches that hit the watchdog
         self.ref32_dev = jax.device_put(ref.ref32.reshape(-1))
         self.mode = _mode_name(params)
         # Pallas count core (ungapped): default ON for real TPU devices —
@@ -340,19 +342,33 @@ class DeviceContext:
     def extend_async(self, enc, loc, plane, row):
         C = loc.shape[0]
         t0 = time.time()
-        if C <= self.CHUNK:
-            return [self._extend_async_one(enc, loc, plane, row) + (t0,)]
-        return [self._extend_async_one(enc, loc[i:i + self.CHUNK],
-                                       plane[i:i + self.CHUNK],
-                                       row[i:i + self.CHUNK]) + (t0,)
-                for i in range(0, C, self.CHUNK)]
+        out = []
+        for i in range(0, max(C, 1), self.CHUNK):
+            l = loc[i:i + self.CHUNK]
+            pl = plane[i:i + self.CHUNK]
+            r = row[i:i + self.CHUNK]
+            out.append(self._extend_async_one(enc, l, pl, r)
+                       + (t0, (enc, l, pl, r)))
+        return out
+
+    # watchdog: a device fetch that exceeds this multiple of its expected
+    # wall (measured cost_per_cand x C, floored) is declared stalled and
+    # the wave is evaluated on the host instead (bit-exact twin); the
+    # timeout wall feeds the measured cost, so repeated stalls flip the
+    # adaptive placement hostward on their own.  The first fetch of a
+    # process is exempt — chip claim + jit compile legitimately take
+    # hundreds of seconds through the tunnel.  BASAL_TPU_WATCHDOG=0
+    # disables; BASAL_TPU_WATCHDOG_MIN overrides the floor (seconds).
+    WATCHDOG_FACTOR = 8.0
 
     def fetch(self, handles, _res=None):
         if _res is not None:            # legacy (C, res) call style
-            handles = [(handles, _res, None)]
+            handles = [(handles, _res, None, None)]
         outs = []
-        for C, res, t0 in handles:
-            outs.append(self._fetch_one(C, res))
+        for h in handles:
+            C, res, t0 = h[0], h[1], h[2]
+            fb = h[3] if len(h) > 3 else None
+            outs.append(self._fetch_guarded(C, res, fb))
             if t0 is not None and C >= 16384:
                 # dispatch -> results-on-host wall time per candidate: the
                 # measured link+device cost that drives adaptive placement
@@ -368,6 +384,49 @@ class DeviceContext:
             return (counts, np.concatenate([o[1] for o in outs]),
                     np.concatenate([o[2] for o in outs]))
         return counts, None, None
+
+    def _fetch_guarded(self, C, res, fb):
+        import sys
+        cpc = self.cost_per_cand
+        if (fb is None or self._meas_skip or cpc is None
+                or os.environ.get("BASAL_TPU_WATCHDOG", "1") in ("", "0")):
+            return self._fetch_one(C, res)
+        timeout = max(
+            float(os.environ.get("BASAL_TPU_WATCHDOG_MIN", "3")),
+            self.WATCHDOG_FACTOR * cpc * max(C, 1))
+        box = {}
+
+        def run():
+            try:
+                box["v"] = self._fetch_one(C, res)
+            except Exception as e:  # noqa: BLE001 - re-raised on the caller
+                box["e"] = e
+
+        import threading
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout)
+        if not th.is_alive():
+            if "e" in box:
+                raise box["e"]
+            return box["v"]
+        # stalled: evaluate this wave on the host evaluator (bit-exact
+        # twin of the device kernel) and move on; the zombie fetch thread
+        # is abandoned (its result is dropped whenever the link recovers)
+        self.stalls += 1
+        enc, loc, plane, row = fb
+        print(f"[basal_tpu] device fetch stalled > {timeout:.1f}s "
+              f"(wave of {C} candidates) - evaluated on host; "
+              f"stall #{self.stalls}", file=sys.stderr)
+        from ..native import (host_eval_candidates,
+                              host_eval_candidates_gap)
+        if self.params.gap > 0:
+            counts, pos0, pos1 = host_eval_candidates_gap(
+                self.params, self.ref_host, enc, loc, plane, row)
+            return counts.astype(np.int32), pos0, pos1
+        counts = host_eval_candidates(
+            self.params, self.ref_host, enc, loc, plane, row)
+        return counts.astype(np.int32), None, None
 
     def _fetch_one(self, C, res):
         if self.params.gap > 0:
