@@ -110,7 +110,7 @@ def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     genome_bp = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     profile = sys.argv[3] if len(sys.argv) > 3 else "random"
-    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    n_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 15
 
     tmp = Path(tempfile.mkdtemp(prefix="mh_bench_"))
     print(f"[mh-bench] generating {genome_bp} bp {profile} genome, "
@@ -165,6 +165,8 @@ def main():
         "t_1proc_s": round(t1, 2),
         "t_2proc_s": round(t2, 2),
         "scaling_efficiency": round(eff, 3),
+        "efficiency_min": round(effs[0], 3),
+        "efficiency_max": round(effs[-1], 3),
         "efficiency_pairs": [round(e, 3) for _, _, e in pairs],
         "routing_rounds": routed["routing_rounds"],
         "exchanged_queries": routed["exchanged_queries"],
