@@ -542,14 +542,19 @@ class SingleEndAligner:
         st = nb.seed_state if nb is not None else self.sched.seed_state
         return st.reshape(-1)
 
-    def submit_batch(self, reads, enc=None):
-        """Host encode + lazy candidate build + async dispatch of wave 1."""
+    def submit_batch(self, reads, enc=None, routed_ready=False):
+        """Host encode + lazy candidate build + async dispatch of wave 1.
+
+        ``routed_ready=True`` asserts this batch's routing reply has
+        already landed (the caller posted a LATER batch's query, and the
+        single-slot post blocks until the prior reply is in), so the wait
+        is skipped — see the read-ahead loop in _run_single_end."""
         if enc is None:
             enc = encode_batch(self.p, reads)
             ens = getattr(self.index, "ensure_batch", None)
             if ens is not None:  # shard-resident index: one routed round
                 ens(enc, extra=self._stale_seeds())
-        else:
+        elif not routed_ready:
             wb = getattr(self.index, "wait_batch", None)
             if wb is not None:
                 wb()
@@ -1102,30 +1107,44 @@ def _run_single_end(params: AlignParams, ref_path: str, reads_path: str,
     # device results stream back (JAX async dispatch covers the device+RPC
     # latency; the replay only blocks when it fetches).  With a routed
     # (multi-host) index, batch k+1's routing query is POSTED before batch
-    # k's finish phase, so the cross-host round-trip overlaps local work
-    # instead of sitting on the critical path.
+    # k's ALIGN phase (read-ahead), so the cross-host round trip hides
+    # behind the fused align instead of sitting on the critical path —
+    # posting early is safe because the shard cache is cumulative: any
+    # stale-buffer value batch k+1 can probe came from an already-posted
+    # batch's seedval (or the initial zero state, posted with batch 0),
+    # and the single-slot post blocks until batch k's own reply landed,
+    # which is what makes routed_ready=True sound.
     routed = hasattr(index, "wait_batch")
     pending = None
-    while True:
-        reads = reader.next_batch()
-        if routed:
-            enc = aligner.encode_post(reads) if reads else None
+    if routed:
+        reads_cur = reader.next_batch()
+        enc_cur = aligner.encode_post(reads_cur) if reads_cur else None
+        while reads_cur:
+            reads_next = reader.next_batch()
+            enc_next = (aligner.encode_post(reads_next)
+                        if reads_next else None)
             if pending is not None:
                 out_fh.write(aligner.finish_batch(pending))
                 log(f"{reader.index - params.read_start + 1} reads "
                     f"finished. {time.time()-t0:.0f} secs passed")
-                pending = None
-            state = (aligner.submit_batch(reads, enc=enc)
-                     if reads else None)
-        else:
-            state = aligner.submit_batch(reads) if reads else None
+            pending = aligner.submit_batch(
+                reads_cur, enc=enc_cur, routed_ready=enc_next is not None)
+            reads_cur, enc_cur = reads_next, enc_next
         if pending is not None:
             out_fh.write(aligner.finish_batch(pending))
             log(f"{reader.index - params.read_start + 1} reads finished. "
                 f"{time.time()-t0:.0f} secs passed")
-        pending = state
-        if state is None:
-            break
+    else:
+        while True:
+            reads = reader.next_batch()
+            state = aligner.submit_batch(reads) if reads else None
+            if pending is not None:
+                out_fh.write(aligner.finish_batch(pending))
+                log(f"{reader.index - params.read_start + 1} reads "
+                    f"finished. {time.time()-t0:.0f} secs passed")
+            pending = state
+            if state is None:
+                break
     reader.close()
     n_al, n_un, n_mu = aligner.stats()
 

@@ -43,6 +43,7 @@ native/engine.cpp:1487), and always equals a reference run with the same
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -163,6 +164,9 @@ class RoutedSeedIndex:
         self.exchanged_locs = 0
         self.rounds = 0
         self.t_exchange = 0.0  # wall in _round (incl. blocked-on-peer)
+        self.t_wait = 0.0      # ALIGN-thread wall blocked on a routing
+                               # reply (ensure_batch wait / wait_batch) —
+                               # the protocol's critical-path cost
         self.t_phase = {"status": 0.0, "qgather": 0.0, "answer": 0.0,
                         "rgather": 0.0, "parse": 0.0, "f_locs": 0.0,
                         "f_scatter": 0.0, "f_have": 0.0}
@@ -422,6 +426,7 @@ class RoutedSeedIndex:
         if self.nproc == 1:
             return
         self._start_service()
+        t0 = time.time()
         with self._cv:
             while self._pending_q is not None:  # drain a prior async post
                 self._cv.wait()
@@ -430,15 +435,18 @@ class RoutedSeedIndex:
             if wait:
                 while self._pending_q is not None:
                     self._cv.wait()
+        self.t_wait += time.time() - t0
 
     def wait_batch(self) -> None:
         """Block until an ensure_batch(wait=False) post has been answered
         (no-op when none is outstanding or single-process)."""
         if self.nproc == 1 or getattr(self, "_svc", None) is None:
             return
+        t0 = time.time()
         with self._cv:
             while self._pending_q is not None:
                 self._cv.wait()
+        self.t_wait += time.time() - t0
 
     def drain(self) -> None:
         """Signal the service thread that this process's read window is

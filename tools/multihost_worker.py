@@ -98,6 +98,7 @@ def main():
         "candidates": getattr(aligner, "total_candidates", 0),
         "routing_rounds": idx.rounds,
         "t_exchange": idx.t_exchange,
+        "t_wait": idx.t_wait,
         "t_phase": {k: round(v, 3) for k, v in idx.t_phase.items()},
         "exchanged_queries": idx.exchanged_queries,
         "exchanged_locs": idx.exchanged_locs,
