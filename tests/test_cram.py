@@ -186,3 +186,59 @@ def test_avgmod_cram_parity(tmp_path, rng, method):
     assert (tmp_path / "o_cram_AvgMod.tsv").read_text() == want
     assert (tmp_path / "o_bam_AvgMod.tsv").read_text() == want
     assert want.count("\n") > 3
+
+
+def test_core_bit_encodings():
+    """BETA/GAMMA/SUBEXP decode against hand-built core bit streams (the
+    writer emits only BETA, so GAMMA/SUBEXP need direct fixtures;
+    parameter layouts per CRAM 3.0 spec section 13)."""
+    # BETA(offset=2, nbits=5): value v stored as v+offset in 5 bits
+    enc = cram.Encoding(6, cram.itf8_encode(2) + cram.itf8_encode(5))
+    bw = cram.BitWriter()
+    for v in (0, 1, 29, 17):
+        bw.write_bits(v + 2, 5)
+    br = cram.BitReader(bw.getvalue())
+    assert [enc.decode_int(br, {}) for _ in range(4)] == [0, 1, 29, 17]
+
+    # GAMMA(offset=1): Elias gamma of v+offset
+    enc = cram.Encoding(9, cram.itf8_encode(1))
+    bw = cram.BitWriter()
+    for v in (0, 1, 6, 99):
+        x = v + 1
+        n = x.bit_length() - 1
+        bw.write_bits(0, n)          # n leading zeros
+        bw.write_bits(x, n + 1)      # 1 marker + n value bits
+    br = cram.BitReader(bw.getvalue())
+    assert [enc.decode_int(br, {}) for _ in range(4)] == [0, 1, 6, 99]
+
+    # SUBEXP(offset=0, k=2): unary prefix of 1s then fixed/suffix bits
+    enc = cram.Encoding(7, cram.itf8_encode(0) + cram.itf8_encode(2))
+    bw = cram.BitWriter()
+    for v in (0, 3, 5, 100):
+        if v < (1 << 2):
+            bw.write_bits(0, 1)      # n = 0 terminator
+            bw.write_bits(v, 2)
+        else:
+            b = v.bit_length() - 1
+            n = b - 2 + 1
+            bw.write_bits((1 << n) - 1, n)  # n ones
+            bw.write_bits(0, 1)
+            bw.write_bits(v - (1 << b), b)
+    br = cram.BitReader(bw.getvalue())
+    assert [enc.decode_int(br, {}) for _ in range(4)] == [0, 3, 5, 100]
+
+
+def test_huffman_multi_symbol():
+    """Canonical multi-symbol HUFFMAN (writer only emits the 0-length
+    constant form): alphabet {5,6,7} with lengths {1,2,2} -> canonical
+    codes 0, 10, 11."""
+    params = (cram.itf8_encode(3) + cram.itf8_encode(5) + cram.itf8_encode(6)
+              + cram.itf8_encode(7) + cram.itf8_encode(3)
+              + cram.itf8_encode(1) + cram.itf8_encode(2)
+              + cram.itf8_encode(2))
+    enc = cram.Encoding(3, params)
+    bw = cram.BitWriter()
+    for bits, n in ((0, 1), (0b10, 2), (0b11, 2), (0, 1)):
+        bw.write_bits(bits, n)
+    br = cram.BitReader(bw.getvalue())
+    assert [enc.decode_int(br, {}) for _ in range(4)] == [5, 6, 7, 5]
