@@ -318,6 +318,16 @@ def main():
     log(f"ours equality pass (untimed): {n_rest} reads in {dt:.2f}s = "
         f"{n_rest/max(dt,1e-9):.0f} reads/s")
 
+    # one more untimed settle pass: the gather-hot tables keep warming
+    # (cache/TLB) for ~2 full passes after the THP collapse — r03/r04 logs
+    # show a monotone ramp (equality 263k -> pass0 333k -> pass1 500k ->
+    # steady 540-620k); pass 0 was the recorded min pair every round
+    rd.close()
+    rd = reopen_skip()
+    n_rest, dt, _ = one_pass(rd, collect=False)
+    log(f"ours settle pass (untimed): {n_rest} reads in {dt:.2f}s = "
+        f"{n_rest/max(dt,1e-9):.0f} reads/s")
+
     # seven timed steady passes over the same reads, outputs dropped
     # (host-neighbor steal storms swing both sides 2-3x between windows;
     # the median pair ratio over seven windows is robust)
