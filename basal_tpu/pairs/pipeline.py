@@ -11,6 +11,7 @@ SAM emission mirrors s_OutHitPair (pairs.cpp:307-416) and s_OutHitUnpair
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import List, Optional
@@ -407,27 +408,30 @@ class PairEndAligner:
         return "".join(out).encode("latin1")
 
     def _pe_lazy(self, built):
-        """Lazy PE evaluation for repeat-heavy references: bulk-materialize
-        and host-evaluate only the mode-0 groups (the regular, vectorizable
-        volume), then run ONE lockstep replay where every other candidate is
+        """Lazy PE evaluation: ONE lockstep replay where EVERY candidate is
         evaluated at visit time inside the C++ scan (counts_off -1 + the
         EvalCtx tables) — the scan's w-caps/pigeonhole stops bound the
         evaluated volume exactly like the reference's per-candidate
-        extension."""
+        extension.  Until round 4 the ungapped path bulk-materialized and
+        host-evaluated the mode-0 groups first; the all-visit-time scan
+        measured 10-15% faster on the random profile (cache-hot, no
+        candidate buffers) and byte-identical — the same trade the SE
+        fused path (bt_align_se_host) makes.  BASAL_TPU_PE_BULK0=1
+        restores the bulk mode-0 pass."""
         from ..native import replay_pe
         p = self.p
         enc_a, enc_b = built[0][0], built[1][0]
         B = len(enc_a.reads)
+        bulk0 = os.environ.get("BASAL_TPU_PE_BULK0", "0") == "1"
         st = []
         for enc, nat, groups, goff in built:
             ng = groups.shape[0]
             off = np.full(ng, -1, np.int64)
-            if p.gap > 0:
-                # gapped: the fused fill+eval has no position lists, so
-                # EVERY group is evaluated at visit time (gap_align_ev
-                # computes MismatchPattern0/1 lazily under the scan's
-                # snp_thres aborts, like the reference's per-candidate
-                # GapAlign, align.cpp:348-410)
+            if p.gap > 0 or not bulk0:
+                # visit-time everything (gapped has no fused fill+eval
+                # position lists anyway; gap_align_ev computes
+                # MismatchPattern0/1 lazily under the scan's snp_thres
+                # aborts, like the reference's GapAlign, align.cpp:348-410)
                 st.append((np.zeros(0, np.int32), np.zeros(0, np.int32),
                            off))
                 continue
