@@ -139,15 +139,15 @@ for name, rule, flags, ext in CONFIGS:
     tag = name.split()[0]
     pe = name.startswith("5")
     if pe:
-        fq1 = work / f"c{tag}_1.fq"
-        fq2 = work / f"c{tag}_2.fq"
+        fq1 = work / f"c{tag}_{N}_1.fq"
+        fq2 = work / f"c{tag}_{N}_2.fq"
         write_fq(fq1, rule, N // 2, mate=1)
         write_fq(fq2, rule, N // 2, mate=2)
         args = ["-d", str(ref_fa), "-a", str(fq1), "-b", str(fq2),
                 "-S", "1", "-V", "0"] + flags
         n_units = N // 2
     else:
-        fq = work / f"c{tag}.fq"
+        fq = work / f"c{tag}_{N}.fq"
         write_fq(fq, rule, N)
         args = ["-d", str(ref_fa), "-a", str(fq), "-S", "1", "-V", "0"] \
             + flags
