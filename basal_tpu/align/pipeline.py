@@ -949,7 +949,8 @@ class SingleEndAligner:
 
         if self.formatter is not None and len(waves) == 1:
             # counters accumulate inside the native formatter; stats() merges
-            return self.formatter.format(enc, waves[0][1])
+            return self.formatter.format(enc, waves[0][1],
+                                         n_threads=self.nt_hint)
         out: List[str] = []
         for i, read in enumerate(enc.reads):
             res = None

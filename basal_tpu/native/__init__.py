@@ -796,10 +796,12 @@ class NativeFormatter:
         self.rev_tab = REV_CHAR.copy()
         self.counters = np.zeros(3, np.int64)
 
-    def format(self, enc, res):
+    def format(self, enc, res, n_threads=0):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
+        if n_threads <= 0:
+            n_threads = min(_ncpu(), 8)
         (stratum, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) = res
         from ..reads.io import RawBatch
         if isinstance(enc.reads, RawBatch):
@@ -871,7 +873,8 @@ class NativeFormatter:
                 ctypes.c_int32(1 if p.out_unmap else 0),
                 ctypes.c_int32(1 if p.out_ref else 0),
                 _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
-                _p(self.counters, ctypes.c_int64))
+                _p(self.counters, ctypes.c_int64),
+                ctypes.c_int32(n_threads))
             if n >= 0:
                 return out[:n].tobytes()
             cap = -n + 1024

@@ -1447,22 +1447,49 @@ i64 bt_encode_batch(
 // ref: align.cpp:583-669).  Consumes the replay's best-stratum buckets and
 // writes final SAM text into one buffer.  Returns bytes written, or
 // -(needed) if cap is too small.  counters: [aligned, unique, multiple].
-extern "C" i64 bt_format_se(
-    i32 B,
-    const u8* names, const i64* name_off, const i32* name_len,  // [B] slices
-    const u8* seqs, const i64* seq_off, const i32* seq_len,     // (off, len)
-    const u8* quals, const i64* qual_off, const i32* qual_len,
-    const i32* map_len, const u32* read_index, const i32* readset,
-    const i32* stratum, const i32* n0, const i32* n1v,
-    const i32* hchr, const i32* hloc, const i32* hgsz, const i32* hgpos,
-    const i64* hoff,
-    const u8* title_names, const i64* title_off, i32 n_titles,
-    const u32* ref32_fwd, const i64* anchors,   // for -R XR context
-    const u8* useful_nt,                        // 8 chars
-    const u8* rev_char_tab,                     // 256
-    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
-    u8* out, i64 cap, i64* counters)
+struct SeFmtArgs {
+    const u8* names; const i64* name_off; const i32* name_len;
+    const u8* seqs; const i64* seq_off; const i32* seq_len;
+    const u8* quals; const i64* qual_off; const i32* qual_len;
+    const i32* map_len; const u32* read_index; const i32* readset;
+    const i32* stratum; const i32* n0; const i32* n1v;
+    const i32* hchr; const i32* hloc; const i32* hgsz; const i32* hgpos;
+    const i64* hoff;
+    const u8* title_names; const i64* title_off; i32 n_titles;
+    const u32* ref32_fwd; const i64* anchors;
+    const u8* useful_nt;
+    const u8* rev_char_tab;
+    u32 randseed; i32 report_repeat_hits; i32 out_unmap; i32 out_ref;
+};
+
+// Formats reads [r0, r1) into (out, cap); returns bytes needed (may exceed
+// cap — caller grows and reruns) and OVERWRITES cnt[0..2] with the range's
+// aligned/unique/multiple counts.  Pure function of its inputs (the RNG is
+// the per-read myrand hash), so any read partition stitches bit-identically
+// to the serial pass.
+static i64 format_se_range(const SeFmtArgs& A, i32 r0, i32 r1,
+                           u8* out, i64 cap, i64* cnt)
 {
+    const u8* names = A.names; const i64* name_off = A.name_off;
+    const i32* name_len = A.name_len;
+    const u8* seqs = A.seqs; const i64* seq_off = A.seq_off;
+    const i32* seq_len = A.seq_len;
+    const u8* quals = A.quals; const i64* qual_off = A.qual_off;
+    const i32* qual_len = A.qual_len;
+    const i32* map_len = A.map_len; const u32* read_index = A.read_index;
+    const i32* readset = A.readset;
+    const i32* stratum = A.stratum; const i32* n0 = A.n0;
+    const i32* hchr = A.hchr; const i32* hloc = A.hloc;
+    const i32* hgsz = A.hgsz; const i32* hgpos = A.hgpos;
+    const i64* hoff = A.hoff;
+    const u8* title_names = A.title_names; const i64* title_off = A.title_off;
+    const u32* ref32_fwd = A.ref32_fwd; const i64* anchors = A.anchors;
+    const u8* useful_nt = A.useful_nt;
+    const u8* rev_char_tab = A.rev_char_tab;
+    u32 randseed = A.randseed;
+    i32 report_repeat_hits = A.report_repeat_hits;
+    i32 out_unmap = A.out_unmap, out_ref = A.out_ref;
+
     i64 w = 0;
     i64 aligned = 0, unique = 0, multiple = 0;
     auto put = [&](const char* s, i64 n) {
@@ -1474,7 +1501,7 @@ extern "C" i64 bt_format_se(
     auto put_int = [&](i64 v) { int n = snprintf(tmp, 64, "%lld", (long long)v); put(tmp, n); };
     auto put_ch = [&](char c) { if (w < cap) out[w] = c; ++w; };
 
-    for (i32 r = 0; r < B; ++r) {
+    for (i32 r = r0; r < r1; ++r) {
         const u8* name = names + name_off[r];
         i64 name_n = name_len[r];
         const u8* seq = seqs + seq_off[r];
@@ -1566,8 +1593,85 @@ extern "C" i64 bt_format_se(
             out_unmapped(0x4);
         }
     }
-    if (w > cap) return -w;  // caller retries: don't double-count
-    counters[0] += aligned; counters[1] += unique; counters[2] += multiple;
+    cnt[0] = aligned; cnt[1] = unique; cnt[2] = multiple;
+    return w;
+}
+
+extern "C" i64 bt_format_se(
+    i32 B,
+    const u8* names, const i64* name_off, const i32* name_len,  // [B] slices
+    const u8* seqs, const i64* seq_off, const i32* seq_len,     // (off, len)
+    const u8* quals, const i64* qual_off, const i32* qual_len,
+    const i32* map_len, const u32* read_index, const i32* readset,
+    const i32* stratum, const i32* n0, const i32* n1v,
+    const i32* hchr, const i32* hloc, const i32* hgsz, const i32* hgpos,
+    const i64* hoff,
+    const u8* title_names, const i64* title_off, i32 n_titles,
+    const u32* ref32_fwd, const i64* anchors,   // for -R XR context
+    const u8* useful_nt,                        // 8 chars
+    const u8* rev_char_tab,                     // 256
+    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    u8* out, i64 cap, i64* counters, i32 n_threads)
+{
+    SeFmtArgs A{names, name_off, name_len, seqs, seq_off, seq_len,
+                quals, qual_off, qual_len, map_len, read_index, readset,
+                stratum, n0, n1v, hchr, hloc, hgsz, hgpos, hoff,
+                title_names, title_off, n_titles, ref32_fwd, anchors,
+                useful_nt, rev_char_tab,
+                randseed, report_repeat_hits, out_unmap, out_ref};
+    if (n_threads <= 1 || B < 4096) {
+        i64 c[3];
+        i64 w = format_se_range(A, 0, B, out, cap, c);
+        if (w > cap) return -w;  // caller retries: don't double-count
+        counters[0] += c[0]; counters[1] += c[1]; counters[2] += c[2];
+        return w;
+    }
+    // Threaded: contiguous read chunks into per-thread growable buffers,
+    // stitched in order (record order == serial order; each chunk's bytes
+    // are bit-identical to the serial pass over the same range).
+    i32 T = std::min<i64>(n_threads, (B + 2047) / 2048);
+    i64 tmax = 0;  // longest title: per-record size upper bound component
+    for (i32 t = 0; t < n_titles; ++t)
+        tmax = std::max(tmax, title_off[t + 1] - title_off[t]);
+    std::vector<std::vector<u8>> bufs(T);
+    std::vector<i64> ws(T, 0);
+    std::vector<i64> cs(3 * T, 0);
+    std::vector<std::thread> ts;
+    for (i32 t = 0; t < T; ++t) {
+        i32 r0 = (i32)((i64)B * t / T), r1 = (i32)((i64)B * (t + 1) / T);
+        ts.emplace_back([&, t, r0, r1]() {
+            i64 est = 0;
+            for (i32 r = r0; r < r1; ++r) {
+                i64 nrec = 1;
+                if (report_repeat_hits == 2)
+                    nrec = std::max<i64>(hoff[r + 1] - hoff[r], 1);
+                i64 per = name_len[r] + 2 * (i64)seq_len[r] + tmax + 112
+                          + (out_ref ? map_len[r] + 14 : 0);
+                est += nrec * per;
+            }
+            std::vector<u8>& buf = bufs[t];
+            buf.resize(est);
+            for (;;) {  // grow-and-rerun backstop (estimate is an upper
+                        // bound for every current record layout)
+                i64 w = format_se_range(A, r0, r1, buf.data(),
+                                        (i64)buf.size(), &cs[3 * t]);
+                ws[t] = w;
+                if (w <= (i64)buf.size()) break;
+                buf.resize(w);
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    i64 total = 0;
+    for (i32 t = 0; t < T; ++t) total += ws[t];
+    if (total > cap) return -total;
+    i64 w = 0;
+    for (i32 t = 0; t < T; ++t) {
+        memcpy(out + w, bufs[t].data(), ws[t]);
+        w += ws[t];
+        counters[0] += cs[3 * t]; counters[1] += cs[3 * t + 1];
+        counters[2] += cs[3 * t + 2];
+    }
     return w;
 }
 
