@@ -937,10 +937,12 @@ class NativePairFormatter:
         # [0..2] aligned/unique/multiple pairs; [3..8] per-end a/b
         self.counters = np.zeros(9, np.int64)
 
-    def format(self, enc_a, enc_b, paired, pdata, poff, ends):
+    def format(self, enc_a, enc_b, paired, pdata, poff, ends, n_threads=0):
         lib = get_lib()
         p = self.p
         B = len(enc_a.reads)
+        if n_threads <= 0:
+            n_threads = min(_ncpu(), 8)
         args = [ctypes.c_int32(B)]
         total_seq = 0
         for enc, e in ((enc_a, ends[0]), (enc_b, ends[1])):
@@ -1002,7 +1004,8 @@ class NativePairFormatter:
             out = np.empty(cap, np.uint8)
             n = lib.bt_format_pe(*(args + [
                 _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
-                _p(self.counters, ctypes.c_int64)]))
+                _p(self.counters, ctypes.c_int64),
+                ctypes.c_int32(n_threads)]))
             if n == -2:
                 return None  # name mismatch: Python path raises exactly
             if n >= 0:

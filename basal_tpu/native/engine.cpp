@@ -1696,45 +1696,32 @@ struct PeEnd {
     const i64* hoff;
 };
 
-extern "C" i64 bt_format_pe(
-    i32 B,
-    // end a (read1 slices + replay outputs), then end b
-    const u8* names_a, const i64* nameoff_a, const i32* namelen_a,
-    const u8* seqs_a, const i64* seqoff_a, const i32* seqlen_a,
-    const u8* quals_a, const i64* qualoff_a, const i32* quallen_a,
-    const i32* maplen_a, const u32* ridx_a, const i32* rset_a,
-    const u8* filt_a, const i32* rms_a,
-    const i32* stat_a, const i32* n0_a, const i32* n1_a,
-    const i32* hchr_a, const i32* hloc_a, const i32* hgsz_a,
-    const i32* hgpos_a, const i64* hoff_a,
-    const u8* names_b, const i64* nameoff_b, const i32* namelen_b,
-    const u8* seqs_b, const i64* seqoff_b, const i32* seqlen_b,
-    const u8* quals_b, const i64* qualoff_b, const i32* quallen_b,
-    const i32* maplen_b, const u32* ridx_b, const i32* rset_b,
-    const u8* filt_b, const i32* rms_b,
-    const i32* stat_b, const i32* n0_b, const i32* n1_b,
-    const i32* hchr_b, const i32* hloc_b, const i32* hgsz_b,
-    const i32* hgpos_b, const i64* hoff_b,
-    // pair results (bt_replay_pe layout: 12 i32 per record)
-    const i32* paired, const i32* pair_data, const i64* pair_off,
-    // reference / params
-    const u8* title_names, const i64* title_off, i32 n_titles,
-    const u32* ref32_fwd, const i64* anchors,
-    const u8* useful_nt, const u8* rev_char_tab,
-    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
-    u8* out, i64 cap, i64* counters)
+struct PeFmtArgs {
+    PeEnd E[2];
+    const i32* paired; const i32* pair_data; const i64* pair_off;
+    const u8* title_names; const i64* title_off;
+    const u32* ref32_fwd; const i64* anchors;
+    const u8* useful_nt; const u8* rev_char_tab;
+    u32 randseed; i32 report_repeat_hits; i32 out_unmap; i32 out_ref;
+};
+
+// Formats pairs [r0, r1) into (out, cap); returns bytes needed (may exceed
+// cap), or -2 on a FixPairReadName mismatch, and OVERWRITES cnt[0..8]
+// (pair aligned/unique/multiple + per-end a/b counters).  Per-pair pure
+// (myrand is the per-read hash), so read partitions stitch bit-identically.
+static i64 format_pe_range(const PeFmtArgs& A, i32 r0, i32 r1,
+                           u8* out, i64 cap, i64* cnt)
 {
-    (void)n_titles;
-    PeEnd E[2] = {
-        {names_a, seqs_a, quals_a, nameoff_a, seqoff_a, qualoff_a,
-         namelen_a, seqlen_a, quallen_a, maplen_a, ridx_a, rset_a,
-         filt_a, rms_a, stat_a, n0_a, n1_a, hchr_a, hloc_a, hgsz_a,
-         hgpos_a, hoff_a},
-        {names_b, seqs_b, quals_b, nameoff_b, seqoff_b, qualoff_b,
-         namelen_b, seqlen_b, quallen_b, maplen_b, ridx_b, rset_b,
-         filt_b, rms_b, stat_b, n0_b, n1_b, hchr_b, hloc_b, hgsz_b,
-         hgpos_b, hoff_b},
-    };
+    const PeEnd* E = A.E;
+    const i32* paired = A.paired;
+    const i32* pair_data = A.pair_data;
+    const i64* pair_off = A.pair_off;
+    const u8* title_names = A.title_names; const i64* title_off = A.title_off;
+    const u32* ref32_fwd = A.ref32_fwd; const i64* anchors = A.anchors;
+    const u8* useful_nt = A.useful_nt; const u8* rev_char_tab = A.rev_char_tab;
+    u32 randseed = A.randseed;
+    i32 report_repeat_hits = A.report_repeat_hits;
+    i32 out_unmap = A.out_unmap, out_ref = A.out_ref;
     i64 w = 0;
     i64 al_p = 0, un_p = 0, mu_p = 0;
     i64 endc[6] = {0, 0, 0, 0, 0, 0};  // a: aligned/unique/multiple, b: ...
@@ -1799,7 +1786,7 @@ extern "C" i64 bt_format_pe(
         put_ch('\n');
     };
 
-    for (i32 r = 0; r < B; ++r) {
+    for (i32 r = r0; r < r1; ++r) {
         // FixPairReadName (pairs.cpp:487-507): common prefix up to the
         // last digit; identical names pass through whole
         const u8* na = E[0].names + E[0].name_off[r];
@@ -1993,9 +1980,111 @@ extern "C" i64 bt_format_pe(
             }
         }
     }
-    if (w > cap) return -w;  // caller retries: don't double-count
-    counters[0] += al_p; counters[1] += un_p; counters[2] += mu_p;
-    for (int k = 0; k < 6; ++k) counters[3 + k] += endc[k];
+    cnt[0] = al_p; cnt[1] = un_p; cnt[2] = mu_p;
+    for (int k = 0; k < 6; ++k) cnt[3 + k] = endc[k];
+    return w;
+}
+
+extern "C" i64 bt_format_pe(
+    i32 B,
+    // end a (read1 slices + replay outputs), then end b
+    const u8* names_a, const i64* nameoff_a, const i32* namelen_a,
+    const u8* seqs_a, const i64* seqoff_a, const i32* seqlen_a,
+    const u8* quals_a, const i64* qualoff_a, const i32* quallen_a,
+    const i32* maplen_a, const u32* ridx_a, const i32* rset_a,
+    const u8* filt_a, const i32* rms_a,
+    const i32* stat_a, const i32* n0_a, const i32* n1_a,
+    const i32* hchr_a, const i32* hloc_a, const i32* hgsz_a,
+    const i32* hgpos_a, const i64* hoff_a,
+    const u8* names_b, const i64* nameoff_b, const i32* namelen_b,
+    const u8* seqs_b, const i64* seqoff_b, const i32* seqlen_b,
+    const u8* quals_b, const i64* qualoff_b, const i32* quallen_b,
+    const i32* maplen_b, const u32* ridx_b, const i32* rset_b,
+    const u8* filt_b, const i32* rms_b,
+    const i32* stat_b, const i32* n0_b, const i32* n1_b,
+    const i32* hchr_b, const i32* hloc_b, const i32* hgsz_b,
+    const i32* hgpos_b, const i64* hoff_b,
+    // pair results (bt_replay_pe layout: 12 i32 per record)
+    const i32* paired, const i32* pair_data, const i64* pair_off,
+    // reference / params
+    const u8* title_names, const i64* title_off, i32 n_titles,
+    const u32* ref32_fwd, const i64* anchors,
+    const u8* useful_nt, const u8* rev_char_tab,
+    u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    u8* out, i64 cap, i64* counters, i32 n_threads)
+{
+    (void)n_titles;
+    PeFmtArgs A{{
+        {names_a, seqs_a, quals_a, nameoff_a, seqoff_a, qualoff_a,
+         namelen_a, seqlen_a, quallen_a, maplen_a, ridx_a, rset_a,
+         filt_a, rms_a, stat_a, n0_a, n1_a, hchr_a, hloc_a, hgsz_a,
+         hgpos_a, hoff_a},
+        {names_b, seqs_b, quals_b, nameoff_b, seqoff_b, qualoff_b,
+         namelen_b, seqlen_b, quallen_b, maplen_b, ridx_b, rset_b,
+         filt_b, rms_b, stat_b, n0_b, n1_b, hchr_b, hloc_b, hgsz_b,
+         hgpos_b, hoff_b}},
+        paired, pair_data, pair_off,
+        title_names, title_off, ref32_fwd, anchors,
+        useful_nt, rev_char_tab,
+        randseed, report_repeat_hits, out_unmap, out_ref};
+    if (n_threads <= 1 || B < 4096) {
+        i64 c[9];
+        i64 w = format_pe_range(A, 0, B, out, cap, c);
+        if (w == -2) return -2;
+        if (w > cap) return -w;  // caller retries: don't double-count
+        for (int k = 0; k < 9; ++k) counters[k] += c[k];
+        return w;
+    }
+    // Threaded over contiguous pair chunks, order-stitched (see
+    // bt_format_se; identical rationale and bit-exactness argument).
+    i32 T = std::min<i64>(n_threads, (B + 2047) / 2048);
+    i64 tmax = 0;
+    for (i32 t = 0; t < n_titles; ++t)
+        tmax = std::max(tmax, title_off[t + 1] - title_off[t]);
+    std::vector<std::vector<u8>> bufs(T);
+    std::vector<i64> ws(T, 0);
+    std::vector<i64> cs(9 * T, 0);
+    std::vector<std::thread> ts;
+    for (i32 t = 0; t < T; ++t) {
+        i32 r0 = (i32)((i64)B * t / T), r1 = (i32)((i64)B * (t + 1) / T);
+        ts.emplace_back([&, t, r0, r1]() {
+            i64 est = 0;
+            for (i32 r = r0; r < r1; ++r) {
+                i64 nrec = 2;
+                if (report_repeat_hits == 2)
+                    nrec = 2 * std::max<i64>(pair_off[r + 1] - pair_off[r], 1)
+                           + (hoff_a[r + 1] - hoff_a[r])
+                           + (hoff_b[r + 1] - hoff_b[r]);
+                i64 per = namelen_a[r] + namelen_b[r]
+                          + 2 * (i64)(seqlen_a[r] + seqlen_b[r])
+                          + 2 * tmax + 160
+                          + (out_ref ? maplen_a[r] + maplen_b[r] + 28 : 0);
+                est += nrec * per;
+            }
+            std::vector<u8>& buf = bufs[t];
+            buf.resize(est);
+            for (;;) {
+                i64 w = format_pe_range(A, r0, r1, buf.data(),
+                                        (i64)buf.size(), &cs[9 * t]);
+                ws[t] = w;
+                if (w == -2 || w <= (i64)buf.size()) break;
+                buf.resize(w);
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    i64 total = 0;
+    for (i32 t = 0; t < T; ++t) {
+        if (ws[t] == -2) return -2;
+        total += ws[t];
+    }
+    if (total > cap) return -total;
+    i64 w = 0;
+    for (i32 t = 0; t < T; ++t) {
+        memcpy(out + w, bufs[t].data(), ws[t]);
+        w += ws[t];
+        for (int k = 0; k < 9; ++k) counters[k] += cs[9 * t + k];
+    }
     return w;
 }
 

@@ -523,7 +523,7 @@ class PairEndAligner:
                 and bool(waves[0][0].all())):
             paired, _pcnt, pdata, poff, ends = waves[0][1]
             s = self.pe_formatter.format(enc_a, enc_b, paired, pdata, poff,
-                                         ends)
+                                         ends, n_threads=self.nt_hint)
             if s is not None:
                 return s
             # None = FixPairReadName mismatch: the Python path below

@@ -70,3 +70,35 @@ def test_format_se_threaded_bitexact(tmp_path, rr, out_ref, out_unmap):
     if rr == 2:
         # multi-hit fan-out really occurred (duplicated block)
         assert int(f_ser.counters[2]) > 0
+
+
+def test_format_pe_threaded_bitexact(tmp_path, monkeypatch):
+    """Full PE CLI run with the formatter forced serial vs threaded must be
+    byte-identical (proper pairs, -r 2 fan-out, orphans, unmapped mates)."""
+    from basal_tpu import native as N
+    if N.get_lib() is None:
+        pytest.skip("native engine unavailable")
+    from test_differential_pe import pe_reads
+    from test_differential_se import run_ours
+
+    rng = random.Random(77)
+    core = random_genome(rng, 150_000)
+    genome = core + core[:50_000]
+    make_ref(tmp_path / "ref.fa", [("chrP", genome)])
+    r1, r2 = pe_reads(rng, genome, 5000, 100, rule="C:T", orphan_frac=0.15)
+    make_fastq(tmp_path / "r1.fq", r1)
+    make_fastq(tmp_path / "r2.fq", r2)
+    args = ["-a", "r1.fq", "-b", "r2.fq", "-d", "ref.fa", "-M", "C:T",
+            "-S", "5", "-V", "0", "-r", "2", "-u"]
+
+    out_thr = run_ours(args, tmp_path)
+
+    orig = N.NativePairFormatter.format
+
+    def serial_format(self, *a, **kw):
+        kw["n_threads"] = 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(N.NativePairFormatter, "format", serial_format)
+    out_ser = run_ours(args, tmp_path)
+    assert out_thr == out_ser
