@@ -53,6 +53,43 @@ def _tune_malloc():
 _tune_malloc()
 
 
+def _tune_numpy_thp():
+    """Stop numpy from MADV_HUGEPAGE-ing every >= 4 MB buffer.
+
+    On this virtualized host the FIRST touch of a newly host-backed 2 MiB
+    extent costs ~44 ms (hypervisor-side backing/zeroing; measured 0.05
+    GB/s vs 0.7-2 GB/s for 4 KiB first-touch — a 20-40x per-byte gap).
+    numpy madvises THP on all large allocations by default, so every
+    growth of the process footprint (the three 43M-slot seed-index tables
+    above all: cold 2 Mbp index build measured 8.2 s wall / 29 s system
+    time, 0.38 s with this tune), and every fresh worker process, paid it.
+    The gather-TLB benefit THP provides is preserved where it matters: the
+    pipeline MADV_COLLAPSEs the gather-hot index tables AFTER the fill
+    (pipeline.THP_AFTER_READS / bench collapse_now), which never takes the
+    slow first-touch path.  Also exports NUMPY_MADVISE_HUGEPAGE=0 so
+    spawned workers (multihost, ThreadedRunner subprocesses, oracle-paired
+    benches) inherit the tune even though their numpy imports fresh.
+    BASAL_TPU_NO_THP_TUNE=1 disables both; an explicit
+    NUMPY_MADVISE_HUGEPAGE in the environment takes precedence."""
+    import os
+    if os.environ.get("BASAL_TPU_NO_THP_TUNE") == "1":
+        return
+    if "NUMPY_MADVISE_HUGEPAGE" in os.environ:
+        return  # user decided; numpy already honored it at import
+    os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"  # for child processes
+    try:
+        try:
+            from numpy._core import _multiarray_umath as _mu  # numpy >= 2
+        except ImportError:  # pragma: no cover - numpy 1.x fallback
+            from numpy.core import _multiarray_umath as _mu
+        _mu._set_madvise_hugepage(False)
+    except Exception:
+        pass  # private API moved: the env var still covers children
+
+
+_tune_numpy_thp()
+
+
 class malloc_window:
     """Raise the malloc mmap/trim thresholds to 256 MB for the duration of
     ONE aligner run, then trim the arena and restore the conservative
