@@ -69,6 +69,7 @@ def get_lib():
     lib.bt_format_se.restype = ctypes.c_int64
     lib.bt_format_pe.restype = ctypes.c_int64
     lib.bt_top_counts.restype = ctypes.c_int64
+    lib.bt_unmask_blocks.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
     lib.bt_eval_candidates_gap.restype = ctypes.c_int64
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
@@ -1108,6 +1109,29 @@ def native_pack_ref(chars, table, reverse=False, n_threads=0):
         _p(table, ctypes.c_uint8), ctypes.c_int32(1 if reverse else 0),
         _p(out, ctypes.c_uint32), ctypes.c_int32(n_threads))
     return out
+
+
+def native_unmask_blocks(seq, useful_tab, nx_tab):
+    """(begin[], end[]) of unmasked runs >= 16 bp — single C++ pass twin of
+    index/reference.py::_unmask_region's transition scan (bt_unmask_blocks)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    ut = np.ascontiguousarray(useful_tab, np.uint8)
+    nt = np.ascontiguousarray(nx_tab, np.uint8)
+    cap = 1 << 16
+    while True:
+        beg = np.empty(cap, np.int64)
+        end = np.empty(cap, np.int64)
+        m = lib.bt_unmask_blocks(
+            _p(seq, ctypes.c_uint8), ctypes.c_int64(seq.size),
+            _p(ut, ctypes.c_uint8), _p(nt, ctypes.c_uint8),
+            _p(beg, ctypes.c_int64), _p(end, ctypes.c_int64),
+            ctypes.c_int64(cap))
+        if m >= 0:
+            return beg[:m], end[:m]
+        cap = -m + 16
 
 
 def native_build_seed_index(ref32, pos0, pos1, seed_size, nk, n_threads=0):

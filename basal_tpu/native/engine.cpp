@@ -2292,6 +2292,36 @@ extern "C" i64 bt_fill_eval_groups(
     return total;
 }
 
+// Unmasked-region scan (RefSeq::UnmaskRegion, refbase.cpp:103-128): one
+// pass over the raw sequence chars emitting [begin, end) runs that start
+// at a useful (ACGTacgt) char and end at the next N/X/n/x char, keeping
+// runs >= 16 bp.  Chars that are neither (other IUPAC letters) neither
+// start nor end a run.  Exact twin of the numpy transition scan in
+// index/reference.py::_unmask_region (which cost ~3.5 s in 200 MB
+// boolean temporaries at 200 Mbp).  Returns the run count, or -needed
+// when cap is too small (caller grows and retries).
+extern "C" i64 bt_unmask_blocks(const u8* seq, i64 n,
+                                const u8* useful_tab, const u8* nx_tab,
+                                i64* out_begin, i64* out_end, i64 cap)
+{
+    i64 m = 0;
+    i64 i = 0;
+    while (i < n) {
+        while (i < n && !useful_tab[seq[i]]) ++i;
+        if (i >= n) break;
+        i64 begin = i;
+        i64 j = begin;
+        while (j < n && !nx_tab[seq[j]]) ++j;
+        if (j - begin >= 16) {
+            if (m < cap) { out_begin[m] = begin; out_end[m] = j; }
+            ++m;
+        }
+        i = j;
+    }
+    if (m > cap) return -m;
+    return m;
+}
+
 // Fused alphabet-map + 2-bit pack of a reference plane (refbase.cpp:58-101
 // behavior): chars go through a 256-entry code table and pack 16 bases per
 // u32 word, first base in bits 31:30.  reverse=1 reads chars back-to-front
@@ -2367,6 +2397,13 @@ extern "C" i64 bt_build_seed_index(
     i64* starts, i32* counts, i32* n1, u32* locs, i32 n_threads)
 {
     const i64 n = n0 + n1_;
+    const bool prof = getenv("BT_BUILD_PROF") != nullptr;
+    auto now = []() {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + 1e-9 * ts.tv_nsec;
+    };
+    double t0 = prof ? now() : 0.0, tz = 0, te = 0, th = 0, ts_ = 0;
     // zero the dense tables here, threaded: the caller hands np.empty
     // buffers because zeroing 43M-slot tables via np.zeros pays
     // random-order first-touch faults during the fill (measured 0.4-1.1s
@@ -2392,6 +2429,7 @@ extern "C" i64 bt_build_seed_index(
         zero(counts, (size_t)nk * sizeof(i32));
         zero(n1, (size_t)nk * sizeof(i32));
     }
+    if (prof) { tz = now(); }
     // byte LUT: 4 packed 2-bit codes -> base-3 value of the 4 collapsed
     // digits (code 3 collapses to 1)
     u32 lut[256];
@@ -2432,16 +2470,90 @@ extern "C" i64 bt_build_seed_index(
         }
         for (auto& t : ts) t.join();
     }
-    for (i64 i = 0; i < n; ++i) counts[seeds[i]]++;
-    for (i64 i = 0; i < n0; ++i) n1[seeds[i]]++;
+    // histogram + scatter are the cost at scale (each probe is a random
+    // slot touch in 172-344 MB tables: ~250M cache misses at 200 Mbp ran
+    // 12-14 s serial).  Partition by KEY RANGE: every thread scans the
+    // whole seeds[] stream (sequential, cheap) but touches only keys in
+    // its own range — per-key increment/scatter order is exactly the
+    // serial order, so the CSR layout is bit-identical, and each thread's
+    // table working set shrinks to 1/T of the slots.  Hot keys (repeat
+    // genomes) concentrate in one thread but stay L1-resident there, so
+    // the miss load self-balances.
+    if (prof) { te = now(); }
+    i32 T = (n_threads > 1 && n >= (1 << 20)) ? n_threads : 1;
+    if (T == 1) {
+        for (i64 i = 0; i < n; ++i) counts[seeds[i]]++;
+        for (i64 i = 0; i < n0; ++i) n1[seeds[i]]++;
+    } else {
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < T; ++t) {
+            u32 k0 = (u32)(nk * t / T), k1 = (u32)(nk * (t + 1) / T);
+            ts.emplace_back([&, k0, k1]() {
+                const i32 PF = 24;
+                // chain-0 prefix: count into BOTH tables in one seeds scan
+                for (i64 i = 0; i < n0; ++i) {
+                    if (i + PF < n0) {
+                        u32 sp = seeds[i + PF];
+                        __builtin_prefetch(counts + sp, 1, 0);
+                        __builtin_prefetch(n1 + sp, 1, 0);
+                    }
+                    u32 sd = seeds[i];
+                    if (sd >= k0 && sd < k1) { counts[sd]++; n1[sd]++; }
+                }
+                for (i64 i = n0; i < n; ++i) {
+                    if (i + PF < n) __builtin_prefetch(counts + seeds[i + PF], 1, 0);
+                    u32 sd = seeds[i];
+                    if (sd >= k0 && sd < k1) counts[sd]++;
+                }
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    if (prof) { th = now(); }
     i64 acc = 0;
     for (i64 k = 0; k < nk; ++k) { acc += counts[k]; starts[k] = acc; }
     // stable scatter, descending input order: each slot cursor walks back
     // from its end, so equal keys keep ascending input order and the cursor
     // finishes at the slot begin — starts needs no separate temp
-    for (i64 i = n - 1; i >= 0; --i)
-        locs[--starts[seeds[i]]] = (u32)((i < n0) ? pos0[i]
-                                                  : pos1[i - n0]);
+    if (T == 1) {
+        for (i64 i = n - 1; i >= 0; --i)
+            locs[--starts[seeds[i]]] = (u32)((i < n0) ? pos0[i]
+                                                      : pos1[i - n0]);
+    } else {
+        // mass-balanced key boundaries from the freshly built prefix sum
+        // (starts[k] = end offset of slot k): each thread owns a disjoint
+        // key range AND the disjoint locs region its keys scatter into
+        std::vector<u32> bnd(T + 1);
+        bnd[0] = 0; bnd[T] = (u32)nk;
+        for (i32 t = 1; t < T; ++t) {
+            i64 want = n * t / T;
+            bnd[t] = (u32)(std::upper_bound(starts, starts + nk, want)
+                           - starts);
+            if (bnd[t] < bnd[t - 1]) bnd[t] = bnd[t - 1];
+        }
+        std::vector<std::thread> ts;
+        for (i32 t = 0; t < T; ++t) {
+            u32 k0 = bnd[t], k1 = bnd[t + 1];
+            if (k0 >= k1) continue;
+            ts.emplace_back([&, k0, k1]() {
+                const i32 PF = 24;
+                for (i64 i = n - 1; i >= 0; --i) {
+                    if (i - PF >= 0) __builtin_prefetch(starts + seeds[i - PF], 1, 0);
+                    u32 sd = seeds[i];
+                    if (sd >= k0 && sd < k1)
+                        locs[--starts[sd]] = (u32)((i < n0) ? pos0[i]
+                                                            : pos1[i - n0]);
+                }
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    if (prof) {
+        ts_ = now();
+        fprintf(stderr,
+                "[bt_build] zero %.2f extract %.2f hist %.2f scatter %.2f\n",
+                tz - t0, te - tz, th - te, ts_ - th);
+    }
     for (i64 k = 0; k < nk; ++k)
         if (!counts[k]) starts[k] = 0;  // python twin zero-fills empty slots
     return n;
