@@ -484,6 +484,14 @@ class SingleEndAligner:
                           and not params.rrbs_flag)
         self.native = (NativeBatch(params, index, ref)
                        if use_native else None)
+        # RRBS fast path: C++ candidate build (bt_build_candidates_rrbs) +
+        # host evaluation + C++ replay with per-candidate plane/skip; SAM
+        # emission stays on the Python emitter (ZP/ZL fragment lookups).
+        # BASAL_TPU_NO_NATIVE / randseed 0 keep the pure-Python twins.
+        self.native_rrbs = None
+        if (params.rrbs_flag and params.randseed != 0 and native_available()
+                and os.environ.get("BASAL_TPU_NO_NATIVE") is None):
+            self.native_rrbs = NativeBatch(params, index, ref)
         self.formatter = None
         if self.native is not None and not params.rrbs_flag:
             from ..native import NativeFormatter
@@ -913,8 +921,40 @@ class SingleEndAligner:
     def align_batch(self, reads) -> bytes:
         return self.finish_batch(self.submit_batch(reads))
 
+    def _align_batch_rrbs_native(self, enc) -> bytes:
+        """RRBS batch through the native engine: C++ candidate build +
+        host-SIMD evaluation + C++ replay (per-candidate plane/skip), then
+        the Python SAM emitter (ZP/ZL via ccgg_seglen).  Byte-identical to
+        the pure-Python path (tests/test_differential_rrbs.py + fuzz)."""
+        from ..reads.io import RawBatch
+        from ..native import host_eval_candidates, host_eval_candidates_gap
+        nb = self.native_rrbs
+        ridx = (enc.reads.indices if isinstance(enc.reads, RawBatch)
+                else np.array([r.index for r in enc.reads], dtype=np.uint32))
+        groups, goff, loc, plane, skip, row, total = \
+            nb.build_candidates_rrbs(enc, ridx, self.index)
+        self.total_candidates += total
+        self.stage["cand_host"] += total
+        self.stage["waves_host"] += 1
+        pos0 = pos1 = None
+        if total and self.p.gap > 0:
+            counts, pos0, pos1 = host_eval_candidates_gap(
+                self.p, self.ref, enc, loc, plane, row,
+                n_threads=self.nt_hint)
+        elif total:
+            counts = host_eval_candidates(self.p, self.ref, enc, loc, plane,
+                                          row, n_threads=self.nt_hint)
+        else:
+            counts = np.zeros(0, dtype=np.int32)
+        res = nb.replay_se(enc, groups, goff, loc, None, counts, pos0, pos1,
+                           n_threads=self.nt_hint,
+                           rr_plane=plane, rr_skip=skip)
+        return self._emit_native(enc, [(None, res)])
+
     def _align_batch_python(self, enc) -> bytes:
         if self.p.rrbs_flag:
+            if self.native_rrbs is not None:
+                return self._align_batch_rrbs_native(enc)
             from .candidates import build_candidates_rrbs
             table = build_candidates_rrbs(self.p, self.index, self.ref, enc,
                                           self.sched)

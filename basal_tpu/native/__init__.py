@@ -70,6 +70,7 @@ def get_lib():
     lib.bt_format_pe.restype = ctypes.c_int64
     lib.bt_top_counts.restype = ctypes.c_int64
     lib.bt_unmask_blocks.restype = ctypes.c_int64
+    lib.bt_build_candidates_rrbs.restype = ctypes.c_int64
     lib.bt_eval_candidates.restype = ctypes.c_int64
     lib.bt_eval_candidates_gap.restype = ctypes.c_int64
     lib.bt_fill_eval_groups.restype = ctypes.c_int64
@@ -584,10 +585,57 @@ class NativeBatch:
             # gapped visit-time: lazy MismatchPattern0/1 inputs
             _p(enc.lenmask, ctypes.c_uint32), _p(ml2, ctypes.c_int32)]
 
+    def build_candidates_rrbs(self, enc, read_indices, rindex):
+        """RRBS candidate build (bt_build_candidates_rrbs): returns
+        (groups, goff, loc, plane i8, skip u8, row, n_cands).  Two passes
+        with the stale seed buffers snapshotted/restored between them (the
+        build mutates them per read, exactly like bt_build_candidates)."""
+        lib = get_lib()
+        B = len(enc.reads)
+        args_common, sv = self._common_args(enc, read_indices)
+        chrmode = np.ascontiguousarray(rindex.chrmode, np.uint32)
+        self._keep_rrbs = chrmode
+        ng = ctypes.c_int64(0)
+        sst0 = self.seed_state.copy()
+        rst0 = self.reg_state.copy()
+        cap = lib.bt_build_candidates_rrbs(
+            *args_common,
+            _p(self.state, ctypes.c_int32),
+            _p(self.seed_state, ctypes.c_uint32),
+            _p(self.reg_state, ctypes.c_uint8),
+            _p(chrmode, ctypes.c_uint32), _p(self.anchors, ctypes.c_int64),
+            ctypes.c_int32(0), None, None, None, None, None, None,
+            ctypes.byref(ng))
+        n_groups = int(ng.value)
+        groups = np.empty((max(n_groups, 1), 10), np.int64)
+        goff = np.empty(B + 1, np.int64)
+        loc = np.empty(max(cap, 1), np.int32)
+        plane = np.empty(max(cap, 1), np.int8)
+        skip = np.empty(max(cap, 1), np.uint8)
+        row = np.empty(max(cap, 1), np.int32)
+        self.seed_state[:] = sst0
+        self.reg_state[:] = rst0
+        ng2 = ctypes.c_int64(0)
+        lib.bt_build_candidates_rrbs(
+            *args_common,
+            _p(self.state, ctypes.c_int32),
+            _p(self.seed_state, ctypes.c_uint32),
+            _p(self.reg_state, ctypes.c_uint8),
+            _p(chrmode, ctypes.c_uint32), _p(self.anchors, ctypes.c_int64),
+            ctypes.c_int32(1),
+            _p(loc, ctypes.c_int32), _p(plane, ctypes.c_int8),
+            _p(skip, ctypes.c_uint8), _p(row, ctypes.c_int32),
+            _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
+            ctypes.byref(ng2))
+        assert int(ng2.value) == n_groups
+        return (groups[:n_groups], goff, loc[:cap], plane[:cap],
+                skip[:cap], row[:cap], cap)
+
     def replay_se(self, enc, groups, goff, cand_loc, cand_plane,
                   counts_dev, pos0, pos1, mode_limit=99,
                   filtered_override=None, counts_off=None,
-                  inline_eval=False, n_threads=0):
+                  inline_eval=False, n_threads=0,
+                  rr_plane=None, rr_skip=None):
         lib = get_lib()
         p = self.p
         B = len(enc.reads)
@@ -613,6 +661,7 @@ class NativeBatch:
                 _p(counts_dev, ctypes.c_int32),
                 _p(pos0c, ctypes.c_int32), _p(pos1c, ctypes.c_int32),
                 _p(cand_loc, ctypes.c_int32), _p(cand_plane, ctypes.c_int8),
+                _p(rr_plane, ctypes.c_int8), _p(rr_skip, ctypes.c_uint8),
                 _p(self.anchors, ctypes.c_int64),
                 ctypes.c_int32(len(self.anchors)),
                 _p(self.rc_off, ctypes.c_int64), _p(self.sizes, ctypes.c_int64),

@@ -353,6 +353,114 @@ i64 bt_build_candidates(
     return flat;
 }
 
+// RRBS candidate build (SnpAlign RRBS branch + ReorderSeed RRBS branch,
+// align.cpp:233-273, 473, 486-487): start offset fixed at (L % s) * chain,
+// no Adjust pass, ONE probe per segment (profile[seg][0] + start), and
+// every index entry of the probed k-mer becomes a candidate — entries whose
+// (mode, orientation) do not match or whose loc < h are emitted SKIPPED
+// (cand_skip=1, loc=12800 inside the margins) so the random-start rotation
+// indexes stay aligned with the reference's scan.  The index arrays are
+// the RRBS layout: starts/n1 per k-mer entry CSR, chrmode packing
+// chr_plane | mode<<16 | opp<<24, locs plane-local (index/rrbs.py).
+// counts for CountSeeds are index n1 (align.cpp:534).  Serial over reads
+// (the stale-buffer refresh is order-dependent exactly like WGBS).
+// pass fill=0: returns needed candidate capacity + *out_ngroups; caller
+// snapshots/restores seed_state/reg_state between passes.
+i64 bt_build_candidates_rrbs(
+    i32 B, i32 S,
+    const u32* seedval, const u8* has_n, const i32* n_offsets,
+    const i32* map_len, const i32* seedseg, const u8* xflag,
+    const u8* filtered, const u32* read_index,
+    const i64* starts, const i32* counts, const i32* n1, const u32* locs,
+    i32 I, i32 s, i64 max_kmer_num, u32 randseed,
+    const i64* profile, i64 prof_stride,
+    i32* start_offset_state,
+    u32* seed_state /*[2*STALE_N]*/, u8* reg_state /*[2*STALE_N]*/,
+    const u32* chrmode, const i64* anchors,
+    i32 fill,
+    i32* cand_loc, i8* cand_plane, u8* cand_skip, i32* cand_row,
+    Group* groups, i64* group_offsets /*[B+1]*/, i64* out_ngroups)
+{
+    (void)start_offset_state;  // RRBS start is fixed; no sticky state
+    Shared sh{B, S, seedval, has_n, n_offsets, map_len, seedseg, xflag,
+              filtered, read_index, starts, counts, n1, locs,
+              I, s, 0, 0, 0, 0, max_kmer_num, randseed, profile, prof_stride};
+    i64 flat = 0, ng = 0;
+    std::vector<u32> cc((i64)S);
+    for (i32 r = 0; r < B; ++r) {
+        if (group_offsets) group_offsets[r] = ng;
+        if (filtered[r]) continue;
+        {   // ConvertBinarySeq effect (see bt_build_candidates)
+            i32 nc = std::min(n_offsets[r], STALE_N);
+            for (int chain = 0; chain < 2; ++chain) {
+                if (!xflag[r * 2 + chain] || nc <= 0) continue;
+                memcpy(seed_state + (i64)chain * STALE_N,
+                       seedval + ((i64)r * 2 + chain) * S, (size_t)nc * 4);
+                memcpy(reg_state + (i64)chain * STALE_N,
+                       has_n + ((i64)r * 2 + chain) * S, (size_t)nc);
+            }
+        }
+        i32 segnum = seedseg[r];
+        if (segnum <= 0) continue;
+        i32 L = map_len[r];
+        u32 rv = myrand_hash(read_index[r], randseed);
+        i32 n_off = n_offsets[r];
+        for (int chain = 0; chain < 2; ++chain) {
+            if (!xflag[r * 2 + chain]) continue;
+            const u32* sv = seedval + ((i64)r * 2 + chain) * S;
+            const u8* hn = has_n + ((i64)r * 2 + chain) * S;
+            const u32* st_sd = seed_state + (i64)chain * STALE_N;
+            const u8* st_hn = reg_state + (i64)chain * STALE_N;
+            i32 start = (L % s) * chain;
+            fill_count_cache(sh, sv, n_off, segnum, start, cc.data());
+            std::pair<i32, i32> keys[MAXSNPS + 1];
+            for (i32 seg = 0; seg < segnum; ++seg)
+                keys[seg] = { (i32)count_seeds(sh, cc.data(), hn, st_sd,
+                                               st_hn, n_off, seg, start),
+                              seg };
+            std::sort(keys, keys + segnum);
+            for (i32 mode = 0; mode < segnum; ++mode) {
+                i32 seg = keys[mode].second;
+                i32 cmode = chain == 0 ? seg : L / s - 1 - seg;
+                i64 off = profile[seg * prof_stride + 0] + start;
+                u32 sd;
+                if (off < n_off) sd = sv[off];
+                else if (off < STALE_N) sd = st_sd[off];
+                else continue;  // past even the reference's 480 entries
+                i64 lo = starts[sd];
+                i64 m = n1[sd];
+                if (m == 0) continue;
+                if (fill) {
+                    Group& g = groups[ng];
+                    g.read = r; g.chain = chain; g.mode = mode; g.seg = seg;
+                    g.h = off; g.start = flat; g.m = m; g.mc = m;
+                    g.jj0 = (i64)(rv % (u32)m); g.loff = lo;
+                    for (i64 e = 0; e < m; ++e) {
+                        u32 cm = chrmode[lo + e];
+                        u32 lc = locs[lo + e];
+                        bool ok = (i32)((cm ^ ((u32)chain << 24)) >> 16)
+                                      == cmode
+                                  && (i64)lc >= off;
+                        u32 chrplane = cm & 0xFFFFu;
+                        cand_loc[flat + e] =
+                            ok ? (i32)(anchors[chrplane >> 1]
+                                       + (i64)lc - off)
+                               : 12800;
+                        cand_plane[flat + e] = (i8)(chrplane & 1u);
+                        cand_skip[flat + e] = ok ? 0 : 1;
+                        cand_row[flat + e] = 2 * r + chain;
+                    }
+                }
+                ++ng;
+                flat += m;
+            }
+        }
+    }
+    if (group_offsets) group_offsets[B] = ng;
+    *out_ngroups = ng;
+    return flat;
+}
+
 // Lazily materialize the candidate arrays of a SUBSET of groups into a
 // compact buffer (the repeat-heavy genomes make eager full enumeration
 // prohibitively large; waves only ever evaluate a fraction).
@@ -413,6 +521,11 @@ struct RefCtx {
     const i32* cand_loc;
     i32 seed_size, gap, gap_edge, max_num_hits, nt3;
     const EvalCtx* ev = nullptr;
+    // RRBS (SnpAlign RRBS branch, align.cpp:233-273): per-candidate ref
+    // plane (entries can land on either strand) and entry skip mask
+    // (mode/orientation mismatch or loc < h) — null for WGBS scans
+    const i8* rr_plane = nullptr;
+    const u8* rr_skip = nullptr;
 };
 
 static inline u32 sxc32_(u32 t) { return ((~t) << 1) | t | 0x55555555u; }
@@ -753,7 +866,12 @@ struct ScanState {
             }
             for (i64 it = 0; it < m; ++it) {
                 i64 ci = cbase + jj;
-                int plane = jj > g.mc ? 1 : 0;
+                if (cx->rr_skip && cx->rr_skip[ci]) {
+                    if (++jj >= m) jj -= m;
+                    continue;
+                }
+                int plane = cx->rr_plane ? (int)cx->rr_plane[ci]
+                                         : (jj > g.mc ? 1 : 0);
                 i32 cnt = cx->counts_dev[ci];
                 if (cnt <= snp_thres) {
                     H h;
@@ -834,6 +952,7 @@ i64 bt_replay_se(
     const i32* pos0,            // [C,KPOS] or nullptr
     const i32* pos1,            // [C,2*gap,KPOS] or nullptr
     const i32* cand_loc, const i8* cand_plane,
+    const i8* rr_plane, const u8* rr_skip,  // RRBS: per-candidate plane/skip
     const i64* anchors, i32 n_chr, const i64* rc_off, const i64* sizes,
     const i32* map_len, const i32* read_max_snp, const i32* seedseg,
     const u8* filtered,
@@ -858,6 +977,8 @@ i64 bt_replay_se(
     (void)cand_plane;
     RefCtx cx{anchors, rc_off, sizes, n_chr, counts_dev, pos0, pos1, cand_loc,
               seed_size, gap, gap_edge, max_num_hits, nt3};
+    cx.rr_plane = rr_plane;
+    cx.rr_skip = rr_skip;
     EvalCtx ev{ev_ref32, ev_nw, ev_base, ev_valid, ev_mread, ev_ncnt,
                ev_W, ev_mode, ev_locs, ev_lenmask, ev_readlen};
     if (ev_ref32) cx.ev = &ev;
