@@ -489,13 +489,15 @@ class SingleEndAligner:
         # emission stays on the Python emitter (ZP/ZL fragment lookups).
         # BASAL_TPU_NO_NATIVE / randseed 0 keep the pure-Python twins.
         self.native_rrbs = None
-        if (params.rrbs_flag and params.randseed != 0 and native_available()
-                and os.environ.get("BASAL_TPU_NO_NATIVE") is None):
-            self.native_rrbs = NativeBatch(params, index, ref)
         self.formatter = None
         if self.native is not None and not params.rrbs_flag:
             from ..native import NativeFormatter
             self.formatter = NativeFormatter(params, ref)
+        elif (params.rrbs_flag and params.randseed != 0 and native_available()
+                and os.environ.get("BASAL_TPU_NO_NATIVE") is None):
+            self.native_rrbs = NativeBatch(params, index, ref)
+            from ..native import NativeFormatter
+            self.formatter = NativeFormatter(params, ref, rrbs_index=index)
 
     @property
     def dev(self):
@@ -923,9 +925,10 @@ class SingleEndAligner:
 
     def _align_batch_rrbs_native(self, enc) -> bytes:
         """RRBS batch through the native engine: C++ candidate build +
-        host-SIMD evaluation + C++ replay (per-candidate plane/skip), then
-        the Python SAM emitter (ZP/ZL via ccgg_seglen).  Byte-identical to
-        the pure-Python path (tests/test_differential_rrbs.py + fuzz)."""
+        host-SIMD evaluation + C++ replay (per-candidate plane/skip) + the
+        threaded C++ formatter (ZP/ZL via the CCGG_seglen twin).
+        Byte-identical to the pure-Python path (test_differential_rrbs.py
+        + fuzz); BASAL_TPU_NO_NATIVE=1 reverts."""
         from ..reads.io import RawBatch
         from ..native import host_eval_candidates, host_eval_candidates_gap
         nb = self.native_rrbs

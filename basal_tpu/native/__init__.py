@@ -831,7 +831,7 @@ class NativeFormatter:
     """C++ SE SAM formatting (bt_format_se); format() returns the SAM
     body as BYTES (written verbatim to the binary output sink)."""
 
-    def __init__(self, params, ref):
+    def __init__(self, params, ref, rrbs_index=None):
         self.p = params
         self.ref = ref
         names = [t.name for t in ref.titles]
@@ -845,6 +845,20 @@ class NativeFormatter:
         from ..config import REV_CHAR
         self.rev_tab = REV_CHAR.copy()
         self.counters = np.zeros(3, np.int64)
+        # RRBS: flattened per-chr-pair digestion-site CSR for the C++
+        # CCGG_seglen twin (ZP/ZL tags)
+        self.cc_pos = self.cc_rev = self.cc_off = None
+        if rrbs_index is not None:
+            off = [0]
+            pos, rev = [], []
+            for sites in rrbs_index.ccgg_sites:
+                for s_, r_ in sites:
+                    pos.append(s_)
+                    rev.append(r_)
+                off.append(len(pos))
+            self.cc_pos = np.asarray(pos, np.int64)
+            self.cc_rev = np.asarray(rev, np.int64)
+            self.cc_off = np.asarray(off, np.int64)
 
     def format(self, enc, res, n_threads=0):
         lib = get_lib()
@@ -922,6 +936,9 @@ class NativeFormatter:
                 ctypes.c_int32(p.report_repeat_hits),
                 ctypes.c_int32(1 if p.out_unmap else 0),
                 ctypes.c_int32(1 if p.out_ref else 0),
+                _p(self.cc_pos, ctypes.c_int64),
+                _p(self.cc_rev, ctypes.c_int64),
+                _p(self.cc_off, ctypes.c_int64),
                 _p(out, ctypes.c_uint8), ctypes.c_int64(cap),
                 _p(self.counters, ctypes.c_int64),
                 ctypes.c_int32(n_threads))

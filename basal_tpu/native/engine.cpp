@@ -1581,7 +1581,34 @@ struct SeFmtArgs {
     const u8* useful_nt;
     const u8* rev_char_tab;
     u32 randseed; i32 report_repeat_hits; i32 out_unmap; i32 out_ref;
+    // RRBS ZP/ZL (CCGG_seglen, refbase.cpp:456-482): per-chr-pair CSR of
+    // digestion sites (position, rev_off); null for WGBS
+    const i64* cc_pos = nullptr;
+    const i64* cc_rev = nullptr;
+    const i64* cc_off = nullptr;  // [n_titles+1]
 };
+
+// RefSeq::CCGG_seglen twin (refbase.cpp:456-482; Python golden
+// index/rrbs.py::ccgg_seglen): fragment (ZP, ZL) for a hit at plane-local
+// position p with read length rl over one chr pair's sorted site list.
+static inline void ccgg_seglen_c(const i64* pos, const i64* rev, i64 n,
+                                 i64 p, i64 rl, i64* zp, i64* zl)
+{
+    if (n == 0) { *zp = 1; *zl = 0; return; }
+    i64 left = 0, right = n - 1;
+    while (left < right - 1) {
+        i64 mid = (left + right) / 2;
+        i64 mv = pos[mid];
+        if (mv == p) { left = mid; right = mid + 1; break; }
+        if (mv < p) left = mid; else right = mid;
+    }
+    i64 seg_start = pos[left];
+    while (right < n && pos[right] + rev[right] < p + rl) ++right;
+    i64 seg_end = (right < n) ? pos[right] + rev[right]
+                              : pos[n - 1] + rev[n - 1];
+    *zp = seg_start + 1;
+    *zl = seg_end - seg_start;
+}
 
 // Formats reads [r0, r1) into (out, cap); returns bytes needed (may exceed
 // cap — caller grows and reruns) and OVERWRITES cnt[0..2] with the range's
@@ -1688,6 +1715,15 @@ static i64 format_se_range(const SeFmtArgs& A, i32 r0, i32 r1,
                     put_ch(c);
                 }
             }
+            if (A.cc_pos) {  // RRBS ZP/ZL fragment tags (align.cpp:660-664)
+                i64 a0 = A.cc_off[chr_ >> 1];
+                i64 b0 = A.cc_off[(chr_ >> 1) + 1];
+                i64 zp, zl;
+                ccgg_seglen_c(A.cc_pos + a0, A.cc_rev + a0, b0 - a0,
+                              loc, L, &zp, &zl);
+                put("\tZP:i:", 6); put_int(zp);
+                put("\tZL:i:", 6); put_int(zl);
+            }
             put("\tZS:Z:", 6);
             put_ch(chr_ & 1 ? '-' : '+');
             put_ch(chain ? '-' : '+');
@@ -1732,6 +1768,7 @@ extern "C" i64 bt_format_se(
     const u8* useful_nt,                        // 8 chars
     const u8* rev_char_tab,                     // 256
     u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    const i64* cc_pos, const i64* cc_rev, const i64* cc_off,  // RRBS ZP/ZL
     u8* out, i64 cap, i64* counters, i32 n_threads)
 {
     SeFmtArgs A{names, name_off, name_len, seqs, seq_off, seq_len,
@@ -1739,7 +1776,8 @@ extern "C" i64 bt_format_se(
                 stratum, n0, n1v, hchr, hloc, hgsz, hgpos, hoff,
                 title_names, title_off, n_titles, ref32_fwd, anchors,
                 useful_nt, rev_char_tab,
-                randseed, report_repeat_hits, out_unmap, out_ref};
+                randseed, report_repeat_hits, out_unmap, out_ref,
+                cc_pos, cc_rev, cc_off};
     if (n_threads <= 1 || B < 4096) {
         i64 c[3];
         i64 w = format_se_range(A, 0, B, out, cap, c);
@@ -1767,7 +1805,8 @@ extern "C" i64 bt_format_se(
                 if (report_repeat_hits == 2)
                     nrec = std::max<i64>(hoff[r + 1] - hoff[r], 1);
                 i64 per = name_len[r] + 2 * (i64)seq_len[r] + tmax + 112
-                          + (out_ref ? map_len[r] + 14 : 0);
+                          + (out_ref ? map_len[r] + 14 : 0)
+                          + (cc_pos ? 56 : 0);  // RRBS ZP/ZL tags
                 est += nrec * per;
             }
             std::vector<u8>& buf = bufs[t];
