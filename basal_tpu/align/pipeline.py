@@ -17,8 +17,10 @@ import sys
 import time
 from typing import List, Optional
 
-import jax
-import jax.numpy as jnp
+# NOTE: jax is imported lazily (inside DeviceContext and the mesh branch).
+# Host-placement runs (HOST_EVAL=1 / jax-pinned-to-CPU auto) never touch a
+# device, and the jax import alone costs ~1.7 s of process startup — a fixed
+# tax the reference binary does not pay on short CLI runs.
 import numpy as np
 
 from ..config import AlignParams
@@ -73,6 +75,11 @@ def _cpu_backend() -> bool:
     JAX_PLATFORMS) — checked WITHOUT initializing a backend, so host-only
     runs never claim (or hang on) an accelerator tunnel."""
     import os
+    import sys
+    if "jax" not in sys.modules:
+        # jax not loaded: the pin can only come from the environment, and
+        # answering from it keeps host-only runs from paying the jax import
+        return os.environ.get("JAX_PLATFORMS") == "cpu"
     try:
         import jax
         p = jax.config.jax_platforms
@@ -113,6 +120,8 @@ class DeviceContext:
 
     def __init__(self, ref: PackedReference, params: AlignParams):
         import os
+
+        import jax
         if not DeviceContext._cache_set:
             DeviceContext._cache_set = True
             try:  # persistent jit cache: kills recompiles across processes
@@ -174,6 +183,8 @@ class DeviceContext:
         per-candidate row ids become row offsets (candidates are grouped by
         row), and mode-unused planes become dummies.
         """
+        import jax.numpy as jnp
+
         from ..ops.extend import extend_kernel
         p = self.params
         C = loc.shape[0]
@@ -299,6 +310,7 @@ class DeviceContext:
     def _build_blob(self, enc: EncodedBatch, loc, plane, used, roff,
                     pad, upad):
         """Assemble the carve_blob i32 buffer; (blob, E_padded) or None."""
+        import jax.numpy as jnp
         hasn = getattr(enc, "_hasn_cache", None)
         if hasn is None:
             hasn = (enc.valid != enc.lenmask).any(axis=1)
@@ -506,6 +518,7 @@ class SingleEndAligner:
         BASAL_TPU_HOST_EVAL=1/auto) never construct it, so they never pay
         the accelerator claim/attach cost."""
         if self._dev is None:
+            import jax
             if len(jax.devices()) > 1:
                 from ..parallel.mesh import make_sharded_context
                 self._dev = make_sharded_context(self.ref, self.p)

@@ -138,44 +138,80 @@ def build_rrbs_index(ref_path: str, ref: PackedReference,
         tmp_sites.sort()
         ccgg_sites_all.append(tmp_sites)
 
-        bsw: List[List[int]] = [[] for _ in range(max_seg)]
-        bsc: List[List[int]] = [[] for _ in range(max_seg)]
         n_sites = len(tmp_sites)
-        for j in range(n_sites - 1):
-            seglen = 0
-            for i in range(j + 1, n_sites):
-                seglen = tmp_sites[i][0] + tmp_sites[i][1] - tmp_sites[j][0]
-                if seglen >= p.min_insert:
-                    break
-            if seglen > p.max_insert or seglen < p.min_insert:
-                continue
-            seedloc = tmp_sites[j][0]
-            for i in range(max_seg):
-                if seedloc > tmp_max:
-                    break
-                bsw[i].append(seedloc)
-                seedloc += s
-        for j in range(1, n_sites):
-            seglen = 0
-            for i in range(j - 1, -1, -1):
-                seglen = tmp_sites[j][0] + tmp_sites[j][1] - tmp_sites[i][0]
-                if seglen >= p.min_insert:
-                    break
-            if seglen > p.max_insert or seglen < p.min_insert:
-                continue
-            seedloc = tmp_sites[j][0] + tmp_sites[j][1] - s
-            for i in range(max_seg):
-                if seedloc < 0:
-                    break
-                bsc[i].append(tmp_offset - seedloc)
-                seedloc -= s
+        pos = np.asarray([t[0] for t in tmp_sites], dtype=np.int64)
+        roff = np.asarray([t[1] for t in tmp_sites], dtype=np.int64)
+        ends = pos + roff
+        # All expansions of one spec share len(site) and dpos, so rev_off is a
+        # single constant and `ends` is sorted along with `pos`; the scalar
+        # break-at-first scans below then reduce to searchsorted.  Guard and
+        # fall back to the exact scalar loops if that invariant ever breaks.
+        vec_ok = n_sites > 1 and np.unique(roff).size == 1
+        if vec_ok:
+            # Watson: first i>j with ends[i]-pos[j] >= min_insert
+            # (refbase.cpp find_CCGG forward fragment scan)
+            tj = pos[:-1] + p.min_insert
+            fi = np.searchsorted(ends, tj, side="left")
+            fi = np.maximum(fi, np.arange(1, n_sites))
+            okw = fi < n_sites
+            segw = np.where(okw, ends[np.minimum(fi, n_sites - 1)] - pos[:-1],
+                            0)
+            accw = okw & (segw >= p.min_insert) & (segw <= p.max_insert)
+            acc_pos = pos[:-1][accw]          # ascending j order
+            # Crick: largest i<j with ends[j]-pos[i] >= min_insert
+            tj2 = ends[1:] - p.min_insert
+            ri = np.searchsorted(pos, tj2, side="right") - 1
+            ri = np.minimum(ri, np.arange(0, n_sites - 1))
+            okc = ri >= 0
+            segc = np.where(okc, ends[1:] - pos[np.maximum(ri, 0)], 0)
+            accc = okc & (segc >= p.min_insert) & (segc <= p.max_insert)
+            acc_end = ends[1:][accc]          # ascending j order
+            bsw = [acc_pos + i * s for i in range(max_seg)]
+            bsw = [v[v <= tmp_max] for v in bsw]
+            bsc = [acc_end - s - i * s for i in range(max_seg)]
+            bsc = [tmp_offset - v[v >= 0] for v in bsc]
+        else:
+            bsw_l: List[List[int]] = [[] for _ in range(max_seg)]
+            bsc_l: List[List[int]] = [[] for _ in range(max_seg)]
+            for j in range(n_sites - 1):
+                seglen = 0
+                for i in range(j + 1, n_sites):
+                    seglen = (tmp_sites[i][0] + tmp_sites[i][1]
+                              - tmp_sites[j][0])
+                    if seglen >= p.min_insert:
+                        break
+                if seglen > p.max_insert or seglen < p.min_insert:
+                    continue
+                seedloc = tmp_sites[j][0]
+                for i in range(max_seg):
+                    if seedloc > tmp_max:
+                        break
+                    bsw_l[i].append(seedloc)
+                    seedloc += s
+            for j in range(1, n_sites):
+                seglen = 0
+                for i in range(j - 1, -1, -1):
+                    seglen = (tmp_sites[j][0] + tmp_sites[j][1]
+                              - tmp_sites[i][0])
+                    if seglen >= p.min_insert:
+                        break
+                if seglen > p.max_insert or seglen < p.min_insert:
+                    continue
+                seedloc = tmp_sites[j][0] + tmp_sites[j][1] - s
+                for i in range(max_seg):
+                    if seedloc < 0:
+                        break
+                    bsc_l[i].append(tmp_offset - seedloc)
+                    seedloc -= s
+            bsw = [np.asarray(v, dtype=np.int64) for v in bsw_l]
+            bsc = [np.asarray(v, dtype=np.int64) for v in bsc_l]
         per_chr.append((bsw, bsc, int(ref.ref_anchor[chr_pair]), tmp_offset))
 
     # index fill order (FillIndex RRBS, refbase.cpp:391-411): mode-major,
     # then chr plane ascending across all sequences; the opposite-plane
     # remapped entries (pairend/chains) follow each plane's own list
-    all_chrmode: List[int] = []
-    all_loc: List[int] = []
+    all_chrmode: List[np.ndarray] = []
+    all_loc: List[np.ndarray] = []
     all_seed: List[np.ndarray] = []
     for mode in range(max_seg):
         for chr_pair, (bsw, bsc, anchor, tmp_offset) in enumerate(per_chr):
@@ -187,43 +223,47 @@ def build_rrbs_index(ref_path: str, ref: PackedReference,
                     seeds = seeds_from_words(
                         ref.ref32[plane], plocs + anchor, s)
                     all_seed.append(seeds)
-                    all_chrmode.extend(
-                        [chrplane | (mode << 16)] * plocs.size)
-                    all_loc.extend(plocs.tolist())
+                    all_chrmode.append(np.full(
+                        plocs.size, chrplane | (mode << 16), dtype=np.uint32))
+                    all_loc.append(plocs)
                 if extra:
-                    olst = bsc[mode] if plane == 0 else bsw[mode]
-                    olocs = np.asarray(
-                        [tmp_offset - x for x in olst if tmp_offset >= x],
-                        dtype=np.int64)
+                    olst = np.asarray(bsc[mode] if plane == 0 else bsw[mode],
+                                      dtype=np.int64)
+                    olocs = tmp_offset - olst[tmp_offset >= olst]
                     if olocs.size:
                         seeds = seeds_from_words(
                             ref.ref32[plane], olocs + anchor, s)
                         all_seed.append(seeds)
-                        all_chrmode.extend(
-                            [chrplane | (mode << 16) | 0x1000000] * olocs.size)
-                        all_loc.extend(olocs.tolist())
+                        all_chrmode.append(np.full(
+                            olocs.size,
+                            chrplane | (mode << 16) | 0x1000000,
+                            dtype=np.uint32))
+                        all_loc.append(olocs)
 
     nk = p.total_kmers
     if all_seed:
         seeds = np.concatenate(all_seed)
-        chrmode = np.asarray(all_chrmode, dtype=np.uint32)
-        locs = np.asarray(all_loc, dtype=np.uint32)
+        chrmode = np.concatenate(all_chrmode)
+        locs = np.concatenate(all_loc).astype(np.uint32)
         order = np.argsort(seeds, kind="stable")
         ss = seeds[order]
         uk, uk_start, uc = np.unique(ss, return_index=True, return_counts=True)
-        starts = np.zeros(nk + 1, dtype=np.int64)
-        n1 = np.zeros(nk, dtype=np.int32)
-        starts_k = np.zeros(nk, dtype=np.int64)
-        starts_k[uk] = uk_start
+        # dense 3^s-slot tables: pre-faulted threaded memset (np.zeros pays
+        # random-order first-touch faults during the scatter — same fix as
+        # bt_build_seed_index for the main index)
+        from ..native import zeros_mt
+        starts = zeros_mt(nk + 1, np.int64)
+        n1 = zeros_mt(nk, np.int32)
+        starts[uk] = uk_start
         n1[uk] = uc
         # store grouped arrays
         chrmode = chrmode[order]
         locs = locs[order]
-        starts[:-1] = starts_k
         starts[-1] = len(ss)
         return RrbsIndex(starts=starts, chrmode=chrmode, locs=locs, n1=n1,
                          ccgg_sites=ccgg_sites_all)
+    from ..native import zeros_mt
     return RrbsIndex(
-        starts=np.zeros(nk + 1, np.int64),
+        starts=zeros_mt(nk + 1, np.int64),
         chrmode=np.zeros(0, np.uint32), locs=np.zeros(0, np.uint32),
-        n1=np.zeros(nk, np.int32), ccgg_sites=ccgg_sites_all)
+        n1=zeros_mt(nk, np.int32), ccgg_sites=ccgg_sites_all)

@@ -82,6 +82,7 @@ def get_lib():
     lib.bt_sam_to_bam.restype = ctypes.c_int64
     lib.bt_bam_to_sam.restype = ctypes.c_int64
     lib.bt_bam_reads.restype = ctypes.c_int64
+    lib.bt_memset_mt.restype = None
     _lib = lib
     return lib
 
@@ -1198,6 +1199,24 @@ def native_unmask_blocks(seq, useful_tab, nx_tab):
         if m >= 0:
             return beg[:m], end[:m]
         cap = -m + 16
+
+
+def zeros_mt(n, dtype, n_threads=0):
+    """np.zeros twin for large dense tables: np.empty + threaded sequential
+    memset (bt_memset_mt).  np.zeros hands back lazily-faulted mmap zero
+    pages, and a scatter fill then pays random-order first-touch faults
+    (0.4-1.1s per 43M-slot table on this VM); pre-faulting sequentially is
+    5-10x cheaper.  Falls back to a plain fill without the engine."""
+    a = np.empty(n, dtype)
+    lib = get_lib()
+    if lib is None:
+        a.fill(0)
+        return a
+    if n_threads <= 0:
+        n_threads = min(_ncpu(), 8)
+    lib.bt_memset_mt(ctypes.c_void_p(a.ctypes.data),
+                     ctypes.c_int64(a.nbytes), ctypes.c_int32(n_threads))
+    return a
 
 
 def native_build_seed_index(ref32, pos0, pos1, seed_size, nk, n_threads=0):

@@ -2542,6 +2542,29 @@ extern "C" i64 bt_pack_ref(const u8* chars, i64 n, const u8* table,
     return nwords;
 }
 
+// Threaded sequential memset for large np.empty tables (e.g. the RRBS
+// index build's 3^s-slot CSR tables): np.zeros defers to lazily-faulted
+// mmap zero pages, and the scatter fill then pays random-order first-touch
+// faults; sequential threaded memsets fault with fault-around batching.
+extern "C" void bt_memset_mt(void* p, i64 bytes, i32 n_threads)
+{
+    i32 nt = n_threads > 1 ? n_threads : 1;
+    if (nt == 1 || bytes < (1 << 20)) {
+        std::memset(p, 0, (size_t)bytes);
+        return;
+    }
+    std::vector<std::thread> ts;
+    size_t per = ((size_t)bytes + nt - 1) / nt;
+    per = (per + 63) & ~size_t(63);
+    for (i32 t = 0; t < nt; ++t) {
+        size_t a = (size_t)t * per;
+        if (a >= (size_t)bytes) break;
+        size_t m = std::min(per, (size_t)bytes - a);
+        ts.emplace_back([p, a, m] { std::memset((char*)p + a, 0, m); });
+    }
+    for (auto& t : ts) t.join();
+}
+
 // CSR seed-index build (RefSeq::CalKmerFreq/AllocIndex/FillIndex,
 // refbase.cpp:254-448) as a counting sort: seed per probed position, dense
 // histogram over the 3^s key space, prefix sum, stable scatter (ascending
