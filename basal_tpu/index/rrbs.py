@@ -15,6 +15,7 @@ visit time (SnpAlign RRBS branch, align.cpp:233-273).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -146,7 +147,8 @@ def build_rrbs_index(ref_path: str, ref: PackedReference,
         # single constant and `ends` is sorted along with `pos`; the scalar
         # break-at-first scans below then reduce to searchsorted.  Guard and
         # fall back to the exact scalar loops if that invariant ever breaks.
-        vec_ok = n_sites > 1 and np.unique(roff).size == 1
+        vec_ok = (n_sites > 1 and np.unique(roff).size == 1
+                  and not os.environ.get("BASAL_TPU_RRBS_SCALAR"))
         if vec_ok:
             # Watson: first i>j with ends[i]-pos[j] >= min_insert
             # (refbase.cpp find_CCGG forward fragment scan)
