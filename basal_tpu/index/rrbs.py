@@ -148,7 +148,8 @@ def build_rrbs_index(ref_path: str, ref: PackedReference,
         # break-at-first scans below then reduce to searchsorted.  Guard and
         # fall back to the exact scalar loops if that invariant ever breaks.
         vec_ok = (n_sites > 1 and np.unique(roff).size == 1
-                  and not os.environ.get("BASAL_TPU_RRBS_SCALAR"))
+                  and os.environ.get("BASAL_TPU_RRBS_SCALAR", "0")
+                  in ("", "0"))
         if vec_ok:
             # Watson: first i>j with ends[i]-pos[j] >= min_insert
             # (refbase.cpp find_CCGG forward fragment scan)

@@ -42,7 +42,7 @@ def _genome(rng, n_frags):
     (4, "Y-CGR", {}),                          # IUPAC multi-expansion
     (5, "C-CGG", {"chains": 1}),
 ])
-def test_vec_equals_scalar(tmp_path, seed, site, kw):
+def test_vec_equals_scalar(tmp_path, monkeypatch, seed, site, kw):
     rng = random.Random(seed)
     g = _genome(rng, 300)
     ref_fa = tmp_path / "ref.fa"
@@ -50,12 +50,10 @@ def test_vec_equals_scalar(tmp_path, seed, site, kw):
     params = AlignParams(conversion="C:T", digestion_site=site,
                          rrbs_flag=True, randseed=1, **kw)
     ref = load_reference(str(ref_fa), params)
+    monkeypatch.delenv("BASAL_TPU_RRBS_SCALAR", raising=False)
     vec = build_rrbs_index(str(ref_fa), ref, params)
-    os.environ["BASAL_TPU_RRBS_SCALAR"] = "1"
-    try:
-        sca = build_rrbs_index(str(ref_fa), ref, params)
-    finally:
-        del os.environ["BASAL_TPU_RRBS_SCALAR"]
+    monkeypatch.setenv("BASAL_TPU_RRBS_SCALAR", "1")
+    sca = build_rrbs_index(str(ref_fa), ref, params)
     np.testing.assert_array_equal(vec.starts, sca.starts)
     np.testing.assert_array_equal(vec.chrmode, sca.chrmode)
     np.testing.assert_array_equal(vec.locs, sca.locs)
