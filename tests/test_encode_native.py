@@ -52,3 +52,21 @@ def test_native_encode_equivalence(conv, exotic):
             os.environ["BASAL_TPU_NO_NATIVE"] = old
     for f in FIELDS:
         assert np.array_equal(getattr(a, f), getattr(b, f)), (conv, f)
+
+
+@pytest.mark.parametrize("ss", [10, 11, 12, 13, 14, 15, 16])
+def test_native_encode_seed_sizes(ss, monkeypatch):
+    """The double-and-add window-hash build is seed-size-generic (every -s
+    10..16 takes a different double/add sequence); pin native == numpy for
+    each legal seed size."""
+    from basal_tpu.native import get_lib
+    if get_lib() is None:
+        pytest.skip("native engine unavailable")
+    p = AlignParams(conversion="C:T", randseed=1, verbose_level=0,
+                    seed_size=ss)
+    monkeypatch.delenv("BASAL_TPU_NO_NATIVE", raising=False)
+    a = E.encode_batch(p, _reads(ss, True))
+    monkeypatch.setenv("BASAL_TPU_NO_NATIVE", "1")
+    b = E.encode_batch(p, _reads(ss, True))
+    for f in FIELDS:
+        assert np.array_equal(getattr(a, f), getattr(b, f)), (ss, f)

@@ -65,7 +65,7 @@ nb = NativeBatch(p, idx, ref)
 args_common, sv = nb._common_args(enc, ridx)
 B = len(enc.reads)
 ub = int(2 * p.index_interval * int(enc.seedseg_num.sum())) + 1
-groups = np.empty((ub, 9), np.int64)
+groups = np.empty((ub, 10), np.int64)
 goff = np.empty(B + 1, np.int64)
 
 variants = [
@@ -80,12 +80,18 @@ for rnd in range(3):
         lib = libs[name]
         ng = ctypes.c_int64(0)
         state = np.zeros(2, np.int32)
+        seed_state = np.zeros(2 * 480, np.uint32)
+        reg_state = np.zeros(2 * 480, np.uint8)
         best = 1e9
         for _ in range(REPS):
             state[:] = 0
+            seed_state[:] = 0
+            reg_state[:] = 0
             t0 = time.time()
             total = lib.bt_build_groups_mt(
                 *args_common, _p(state, ctypes.c_int32),
+                _p(seed_state, ctypes.c_uint32),
+                _p(reg_state, ctypes.c_uint8),
                 _p(groups, ctypes.c_int64), _p(goff, ctypes.c_int64),
                 ctypes.byref(ng), ctypes.c_int32(min(_ncpu(), 8)))
             best = min(best, time.time() - t0)
