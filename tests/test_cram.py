@@ -242,3 +242,122 @@ def test_huffman_multi_symbol():
         bw.write_bits(bits, n)
     br = cram.BitReader(bw.getvalue())
     assert [enc.decode_int(br, {}) for _ in range(4)] == [5, 6, 7, 5]
+
+
+# ---------------------------------------------------------------------------
+# Spec-derived byte-level fixtures (round-5): assembled BY HAND from the
+# CRAMv3 spec byte layout (container/block/slice framing per spec §7-§9,
+# rANS4x8 per §13) — NOT produced by cram.py's writer — so shared
+# reader/writer misreadings of the spec cannot pass silently.  Every byte
+# below is literal; the derivations are in the comments.
+# ---------------------------------------------------------------------------
+
+
+def test_rans_o0_fixture_rle_run():
+    """rANS4x8 Order-0, hand-derived (spec §13.4-13.6).
+
+    raw = b"abc", freqs a:1024 b:1024 c:2048 (sum = 4096 = 1<<TF_SHIFT).
+    Frequency table exercises the consecutive-symbol RLE run: after 'a',
+    the next symbol byte 0x62 == prev+1 triggers the RLE marker form
+    (0x62 0x01 = start 'b', run of 1 more -> 'c' implicit), and both
+    freq widths (0x84 0x00 = 2-byte form of 1024; 0x88 0x00 = 2048).
+    States hand-computed from x' = (x//f << 12) + C + x%f with x0 = 1<<23:
+      lane0 'a' (f=1024,C=0)    -> 0x2000000
+      lane1 'b' (f=1024,C=1024) -> 0x2000400
+      lane2 'c' (f=2048,C=2048) -> 0x1000800
+      lane3 unused              -> 0x800000 (initial L)
+    No renormalization bytes (all states stay < threshold during encode).
+    """
+    blob = (b"\x00\x1a\x00\x00\x00\x03\x00\x00\x00"           # O0, comp=26, raw=3
+            b"a\x84\x00b\x01\x84\x00\x88\x00\x00"              # freq table
+            b"\x00\x00\x00\x02\x00\x04\x00\x02\x00\x08\x00\x01"  # states LE
+            b"\x00\x00\x80\x00")
+    assert cram.rans_decompress(blob) == b"abc"
+
+
+def test_rans_o0_fixture_renormalization():
+    """rANS4x8 Order-0 with decoder-side renormalization pulls (§13.6).
+
+    raw = b"aaaa", freqs a:16 (1-byte form 0x10), b:4080 (2-byte form
+    0x8F 0xF0; present in the table but absent from the stream — legal).
+    Decode of 'a' from x = 1<<23: x' = 16*(x>>12) + 0 - 0 = 0x8000 <
+    L(1<<23), so each lane pulls exactly one stream byte
+    (0x8000<<8 | b >= L).  The four pulled bytes AA BB CC DD are consumed
+    in lane order 0..3; final states are not validated by the format.
+    """
+    blob = (b"\x00\x1b\x00\x00\x00\x04\x00\x00\x00"
+            b"a\x10b\x00\x8f\xf0\x00"                          # freq table
+            b"\x00\x00\x80\x00\x00\x00\x80\x00\x00\x00\x80\x00"
+            b"\x00\x00\x80\x00"                                # 4x initial L
+            b"\xaa\xbb\xcc\xdd")                               # renorm pulls
+    assert cram.rans_decompress(blob) == b"aaaa"
+
+
+def test_rans_o1_fixture_context_rle():
+    """rANS4x8 Order-1, hand-derived (spec §13.7).
+
+    raw = b"abab" * 4 (quarters of 4; lane j decodes quarter j).  Contexts:
+    0->a, a->b, b->a — every context row holds ONE symbol at freq 4096, so
+    x' = 4096*(x>>12) + m - 0 == x: zero bits per symbol, no
+    renormalization, states stay at the initial L.  The outer context
+    enumeration exercises BOTH forms: ctx 'a' after ctx 0 is non-
+    consecutive (plain byte), ctx 'b' == 'a'+1 uses the RLE marker form
+    (0x62 0x00).  Each inner row uses the 2-byte freq form 0x90 0x00
+    (= 4096).
+    """
+    blob = (b"\x01!\x00\x00\x00\x10\x00\x00\x00"               # O1, comp=33, raw=16
+            b"\x00a\x90\x00\x00"                               # ctx 0: {a:4096}
+            b"a" b"b\x90\x00\x00"                              # ctx a: {b:4096}
+            b"b\x00" b"a\x90\x00\x00"                          # ctx b (RLE form)
+            b"\x00"                                            # outer terminator
+            b"\x00\x00\x80\x00\x00\x00\x80\x00\x00\x00\x80\x00"
+            b"\x00\x00\x80\x00")
+    assert cram.rans_decompress(blob) == b"abababababababab"
+
+
+# Full-file fixtures: magic + file-id (§6), file-header container (§8.1),
+# data container with compression header (§8.4: preservation map SM,
+# data-series encodings EXTERNAL/BYTE_ARRAY_STOP), slice header blocks
+# (§8.5: content ids, embedded ref id itf8(-1) = FF FF FF FF 0F), raw
+# blocks with CRC32 (§9), EOF container (§9.4: start 4542278 -> the
+# \\x00EOF byte signature visible in the stream).
+
+FIX_MULTISLICE = b'CRAM\x03\x00basal-fixture\x00\x00\x00\x00\x00\x00\x00*\x00\x00\x00\xff\xff\xff\xff\x0f\x00\x00\x00\x00\x00\x01\x01\x00\xc41\x8b\xe2\x00\x00\x00!!\x1d\x00\x00\x00@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:40\nS\x80\xec\x8f\xe2\x00\x00\x00\x00\x05\x19\x02\x00\x14\t\x02I\x80\x97\xa9\xfd~\xc2\x00\x01\x00@@\x08\x01SM\xe4\x1b\x1b\x1b\x1b4\nBF\x01\x01\x01CF\x01\x01\x01RL\x01\x01\x01AP\x01\x01\x01MQ\x01\x01\x01FN\x01\x01\x01FP\x01\x01\x01FC\x01\x01\x01BS\x01\x01\x01RN\x05\x02\x00\n\x01\x00(\xd17S\x00\x02\x00\x1e\x1e\x00\x05\n\x01\x00\x03\x02\x01\n\xff\xff\xff\xff\x0f\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00h\xc5\x01\x84\x00\x05\x00\x00\x00/\x07\xfc\xf1\x00\x04\x01\t\t\x00\x00\n\x00\x01X\x01\x03\x1eU\x1f\xb6J\x00\x04\n\x03\x03q1\x00\xf7\x08\x8d\xf6\x00\x02\x00\x1e\x1e\x00\x14\n\x01\x00\x03\x02\x01\n\xff\xff\xff\xff\x0f\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00I\x91\xcea\x00\x05\x00\x00\x00/\x07\xfc\xf1\x00\x04\x01\x06\x06\x10\x00\n\x00\x00\x074N\xa7"\x00\x04\n\x03\x03q2\x004[\xa0\xdd\x00\x00\x00\x00\xff\xff\xff\xff\x0f\xe0EOF\x00\x00\x00\x00\x00\x00\x8a\x1a]\x15'
+
+FIX_EMBEDDED = b'CRAM\x03\x00basal-fixture\x00\x00\x00\x00\x00\x00\x00*\x00\x00\x00\xff\xff\xff\xff\x0f\x00\x00\x00\x00\x00\x01\x01\x00\xc41\x8b\xe2\x00\x00\x00!!\x1d\x00\x00\x00@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:30\n\xd6\x96\xa3\x8a\x93\x00\x00\x00\x00\x0b\x08\x01\x00\x08\x06\x01\x00\tM(\xdb\x00\x01\x0011\x08\x01SM\x1b\x1b\x1b\x1b\x1b%\x07BF\x01\x01\x01CF\x01\x01\x01RL\x01\x01\x01AP\x01\x01\x01MQ\x01\x01\x01FN\x01\x01\x01RN\x05\x02\x00\n\x01\x00\xa9j\xce\x82\x00\x02\x00\x1b\x1b\x00\x0b\x08\x01\x00\x04\x03\x01\n**\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\xc2\x0e&\xfb\x00\x05\x00\x00\x00/\x07\xfc\xf1\x00\x04\x01\x06\x06\x00\x00\x08\x00\x00<\x00ms:\x00\x04\n\x03\x03e1\x00[\x03\xa2\xed\x00\x04*\x08\x08GGCCTTAA\xc1\x83F3\x00\x00\x00\x00\xff\xff\xff\xff\x0f\xe0EOF\x00\x00\x00\x00\x00\x00\x8a\x1a]\x15'
+
+
+def test_cram_multislice_substitution_fixture(tmp_path):
+    """Two slices in ONE container (landmarks, per-slice header + core +
+    external blocks) and a CORNER substitution matrix: the ref-'A' row
+    byte is 0xE4 = codes 11 10 01 00, i.e. C->3 G->2 T->1 N->0 (§10.2:
+    2-bit codes packed high-to-low in ACGTN-minus-ref order), so code2base
+    for 'A' is "NTGC" — the reverse of the identity row 0x1B.
+
+    Slice 1: read q1 at ap=5 on chr1=(ACGT)*10, one 'X' feature at read
+    pos 1 with BS code 3.  rpos=5 -> ref base 'A' -> alts[3] = 'C' (with
+    the identity matrix it would be 'N'): seq = C + ref[6..14] =
+    CCGTACGTAC.  Slice 2: read q2 at ap=20, no features: pure ref copy
+    TACGTACGTA, flag 16, mapq 7 — its AP delta restarts at slice start
+    (§8.5: prev_ap initialized per slice)."""
+    p = tmp_path / "ms.cram"
+    p.write_bytes(FIX_MULTISLICE)
+    out = cram.read_cram_to_sam(str(p), ref={"chr1": "ACGT" * 10})
+    body = [l for l in out.splitlines() if not l.startswith("@")]
+    assert body == [
+        "q1\t0\tchr1\t5\t30\t10M\t*\t0\t0\tCCGTACGTAC\t*",
+        "q2\t16\tchr1\t20\t7\t10M\t*\t0\t0\tTACGTACGTA\t*",
+    ]
+
+
+def test_cram_embedded_ref_fixture(tmp_path):
+    """Slice with an EMBEDDED reference block (§8.5: embedded_ref_id = 42
+    names an external block holding the reference bases for the slice
+    span): read e1 at ap=11 reconstructs GGCCTTAA purely from the
+    embedded block — no external reference is passed, so any fallback to
+    the refget 'N'-run path would be visible immediately."""
+    p = tmp_path / "emb.cram"
+    p.write_bytes(FIX_EMBEDDED)
+    out = cram.read_cram_to_sam(str(p))  # NO ref
+    body = [l for l in out.splitlines() if not l.startswith("@")]
+    assert body == ["e1\t0\tchr1\t11\t60\t8M\t*\t0\t0\tGGCCTTAA\t*"]

@@ -42,7 +42,7 @@ ref = load_reference(str(ref_fa), p)
 idx = build_index(ref, p)
 print(f"[hostbench] index: {time.time()-t0:.1f}s", file=sys.stderr)
 
-BATCH = 25_000
+BATCH = int(os.environ.get("HB_BATCH", "25000"))
 for rep in range(3):
     al = SingleEndAligner(p, ref, idx)
     rd = open_reads(str(reads_fq), p)

@@ -156,9 +156,27 @@ def main():
         print(f"[mh-bench] rep{rep}: efficiency {pairs[-1][2]:.3f}",
               flush=True)
 
-    effs = sorted(e for _, _, e in pairs)
-    eff = effs[len(effs) // 2]
-    t1, t2, _ = pairs[[e for _, _, e in pairs].index(eff)]
+    def median(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    # storm rejection: this guest sees double-digit steal-time storms from
+    # host neighbors (docs/PERF.md); a storm landing inside either side of
+    # a rep makes that rep's ratio meaningless.  Reject reps whose 1-proc
+    # align wall deviates >1.5x (either way) from the rep-set median t1 —
+    # the 1-proc wall is the storm canary: it runs the identical workload
+    # every rep, so its only source of variance is the environment.  Both
+    # filtered and raw numbers are recorded; the headline is the filtered
+    # median so the artifact converges run-to-run.
+    t1_med = median([t1 for t1, _, _ in pairs])
+    kept = [p for p in pairs
+            if t1_med / 1.5 <= p[0] <= t1_med * 1.5]
+    rejected = len(pairs) - len(kept)
+    effs_raw = sorted(e for _, _, e in pairs)
+    effs = sorted(e for _, _, e in kept) or effs_raw
+    eff = median(effs)
+    src = kept or pairs
+    t1, t2, _ = src[[e for _, _, e in src].index(eff)]
     out = {
         "workload": {"n_reads": n_reads, "genome_bp": genome_bp,
                      "profile": profile, "rule": "A:G", "readlen": 100},
@@ -167,21 +185,38 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "efficiency_min": round(effs[0], 3),
         "efficiency_max": round(effs[-1], 3),
-        "efficiency_pairs": [round(e, 3) for _, _, e in pairs],
+        "raw_median": round(median(effs_raw), 3),
+        "raw_pairs": [round(e, 3) for _, _, e in pairs],
+        "storm_rejected_reps": rejected,
+        "t1_walls_s": [round(t1_, 2) for t1_, _, _ in pairs],
+        "t2_walls_s": [round(t2_, 2) for _, t2_, _ in pairs],
         "routing_rounds": routed["routing_rounds"],
         "exchanged_queries": routed["exchanged_queries"],
         "exchanged_locs": routed["exchanged_locs"],
         "note": "same total core budget (1p x all cores vs 2p x half "
                 "each); efficiency = t1/max(t2), ideal 1.0, warmup rep + "
-                f"median of {n_reps} "
-                "interleaved pairs; isolates routing/drain/skew protocol "
-                "cost (a one-VM simulation cannot add the memory bandwidth "
-                "a real second host brings); workers are jax.distributed "
-                "processes on CPU",
+                f"median of {n_reps} interleaved pairs after storm "
+                "rejection (reps whose 1-proc wall deviates >1.5x from "
+                "the rep-set median are dropped; raw numbers disclosed); "
+                "isolates routing/drain/skew protocol cost (a one-VM "
+                "simulation cannot add the memory bandwidth a real second "
+                "host brings); workers are jax.distributed processes on "
+                "CPU",
+        "statistic_bias_note": "efficiency uses max over the 2 workers' "
+                "align walls (the distributed-run completion time).  Under "
+                "uncorrelated per-worker noise the max statistic is biased "
+                "high even when both workers are healthy: E[max(X1,X2)] > "
+                "E[X1], so measured efficiency < true efficiency by "
+                "roughly half the workers' noise CV.  Additionally the "
+                "~1.2-2.0s serial drain/routing tail is Amdahl-fixed: at "
+                "this workload size it caps same-budget efficiency near "
+                "0.85-0.9 even with zero contention; larger n_reads "
+                "amortize it.",
     }
     (REPO / "MULTIHOST_BENCH.json").write_text(json.dumps(out, indent=1))
     print(f"[mh-bench] scaling efficiency at 2 hosts: {eff:.3f} "
-          f"(t1={t1:.1f}s t2={t2:.1f}s)", flush=True)
+          f"(t1={t1:.1f}s t2={t2:.1f}s, rejected {rejected}/{len(pairs)} "
+          f"storm reps, raw median {median(effs_raw):.3f})", flush=True)
 
 
 if __name__ == "__main__":
