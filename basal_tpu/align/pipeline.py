@@ -158,6 +158,9 @@ class DeviceContext:
         self.meas_t = 0.0
         self.meas_n = 0
         self._meas_skip = 1
+        # wire accounting (tools/devbench.py speed-of-light analysis)
+        self.up_bytes = 0
+        self.up_waves = 0
         # single-transfer blob upload (ops.extend.carve_blob): packs loc+
         # strand+row_off+rowmeta+planes into ONE i32 array per wave and
         # derives the valid/lenmask planes on device — 1 transfer instead
@@ -345,7 +348,10 @@ class DeviceContext:
         if E < epad:
             ev = np.pad(ev, ((0, epad - E), (0, 0)))
         parts.append(ev.reshape(-1).view(np.int32))
-        return jnp.asarray(np.concatenate(parts)), epad
+        cat = np.concatenate(parts)
+        self.up_bytes += cat.nbytes
+        self.up_waves += 1
+        return jnp.asarray(cat), epad
 
     # candidate-heavy batches (repetitive references) are evaluated in
     # chunks to bound HLO temp memory on the device
@@ -573,6 +579,14 @@ class SingleEndAligner:
         single-slot post blocks until the prior reply is in), so the wait
         is skipped — see the read-ahead loop in _run_single_end."""
         if enc is None:
+            from ..reads.io import RawBatch as _RB
+            chk = self._fused_chunk()
+            if (chk > 0 and self.native is not None
+                    and isinstance(reads, _RB)
+                    and getattr(self.index, "ensure_batch", None) is None
+                    and len(reads) >= 2 * chk
+                    and self._fused_host()):
+                return self._submit_fused_chunked(reads)
             enc = encode_batch(self.p, reads)
             ens = getattr(self.index, "ensure_batch", None)
             if ens is not None:  # shard-resident index: one routed round
@@ -647,6 +661,53 @@ class SingleEndAligner:
         handle, uinv = self._dispatch_unique(enc, loc, plane, row)
         return ("native", enc, groups, goff, off, (loc, plane, row),
                 handle, uinv, eff)
+
+    def _fused_chunk(self) -> int:
+        """Chunk size for the cache-blocked fused host path (0 disables).
+        Encode writes ~850 B/read of seed arrays that the fused align
+        immediately re-reads; at 50k-read batches that is a 42 MB DRAM
+        round trip per batch.  Encoding + aligning in chunks keeps the
+        chunk's seed arrays LLC-resident between the two passes.
+        Chunking is bit-exact by construction: it is identical to running
+        smaller batches, and all cross-read state (sticky start offsets,
+        stale seed buffers, myrand read indices) already carries serially
+        across batch boundaries (tests/test_fused_chunked.py pins chunked
+        == unchunked byte-for-byte).
+
+        DEFAULT OFF (negative A/B, round 5): on this VM chunk=4096
+        measured 670-710k reads/s vs 841-846k unchunked, 8192 slightly
+        behind, 16384 a wash — per-chunk std::thread spawn/join in the C
+        entries eats the locality win, and the shared-LLC slice here is
+        too small for the 7-14 MB working sets to stick.  Kept behind the
+        knob for hosts with large private LLCs."""
+        v = os.environ.get("BASAL_TPU_FUSED_CHUNK", "0")
+        try:
+            return max(0, int(v))
+        except ValueError:
+            return 0
+
+    def _submit_fused_chunked(self, reads):
+        from ..reads.io import RawBatch
+        chk = self._fused_chunk()
+        self.total_reads += len(reads)
+        _maybe_start_thp(self)
+        out = []
+        for s in range(0, len(reads), chk):
+            e = min(s + chk, len(reads))
+            sub = RawBatch(reads.buf, reads.name_off[s:e],
+                           reads.name_len[s:e], reads.seq_off[s:e],
+                           reads.seq_len[s:e], reads.qual_off[s:e],
+                           reads.qual_len[s:e], reads.index0 + s,
+                           reads.readset)
+            enc = encode_batch(self.p, sub)
+            res, n_enum, n_eval = self.native.align_se_host(
+                enc, enc.reads.indices, self.ref, n_threads=self.nt_hint)
+            self.total_candidates += n_enum
+            self.stage["cand_visit"] += n_eval
+            self.stage["waves_visit"] += 1
+            out.append((enc, res))
+        self.stage["fused_batches"] += 1
+        return ("fused_chunks", out)
 
     # host wins a wave when its measured cost/candidate is below this
     # fraction of the device's (hysteresis against routing flapping)
@@ -781,7 +842,7 @@ class SingleEndAligner:
         """Block on the wave-1 device results for a submitted state (device
         usage stays serialized with the caller); the remaining pure-host work
         can then run in a side thread via finish_batch_prefetched."""
-        if state[0] in ("py", "fused") or state[6] is None:
+        if state[0] in ("py", "fused", "fused_chunks") or state[6] is None:
             return None
         if isinstance(state[6], tuple) and state[6][0] == "inline":
             return None  # no wave-1 results: all-visit-time replay
@@ -801,6 +862,9 @@ class SingleEndAligner:
             return self._align_batch_python(state[1])
         if state[0] == "fused":
             return self._emit_native(state[1], [(None, state[2])])
+        if state[0] == "fused_chunks":
+            return b"".join(self._emit_native(e, [(None, r)])
+                            for e, r in state[1])
         return self._finish_with(state, self.prefetch_state(state))
 
     def _finish_with(self, state, fetched) -> str:
