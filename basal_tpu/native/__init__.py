@@ -694,7 +694,8 @@ class NativeBatch:
 
 def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
               mode_limit=99, counts_off_a=None, counts_off_b=None,
-              filtered_a=None, filtered_b=None, index=None, n_threads=0):
+              filtered_a=None, filtered_b=None, index=None, n_threads=0,
+              rr_a=None, rr_b=None):
     """C++ PE lockstep replay (bt_replay_pe).  Returns
     (paired, pair_cnt, pair_data, pair_offsets,
      (stat, n0, n1, hchr, hloc, hgsz, hgpos, hchain, hoff) x 2).
@@ -819,6 +820,11 @@ def replay_pe(params, ref, enc_a, cand_a, res_a, enc_b, cand_b, res_b,
             args += [_p(e["hchr"], ctypes.c_int32), _p(e["hloc"], ctypes.c_int32),
                      _p(e["hgsz"], ctypes.c_int32), _p(e["hgpos"], ctypes.c_int32),
                      _p(e["hchain"], ctypes.c_uint8), _p(e["hoff"], ctypes.c_int64)]
+        for rr in (rr_a, rr_b):  # RRBS per-candidate plane/skip
+            if rr is None:
+                args += [None, None]
+            else:
+                args += [_p(rr[0], ctypes.c_int8), _p(rr[1], ctypes.c_uint8)]
         args += [ctypes.c_int32(n_threads if n_threads > 0
                                 else min(_ncpu(), 8))]
         rc = lib.bt_replay_pe(*args)
@@ -989,7 +995,7 @@ class NativePairFormatter:
     the Python path (FixPairReadName mismatch raises there with the exact
     reference message)."""
 
-    def __init__(self, params, ref):
+    def __init__(self, params, ref, rrbs_index=None):
         self.p = params
         self.ref = ref
         names = [t.name for t in ref.titles]
@@ -1004,6 +1010,19 @@ class NativePairFormatter:
         self.rev_tab = REV_CHAR.copy()
         # [0..2] aligned/unique/multiple pairs; [3..8] per-end a/b
         self.counters = np.zeros(9, np.int64)
+        # RRBS ZP/ZL fragment CSR (same layout as NativeFormatter)
+        self.cc_pos = self.cc_rev = self.cc_off = None
+        if rrbs_index is not None:
+            off = [0]
+            pos, rev = [], []
+            for sites in rrbs_index.ccgg_sites:
+                for s_, r_ in sites:
+                    pos.append(s_)
+                    rev.append(r_)
+                off.append(len(pos))
+            self.cc_pos = np.asarray(pos, np.int64)
+            self.cc_rev = np.asarray(rev, np.int64)
+            self.cc_off = np.asarray(off, np.int64)
 
     def format(self, enc_a, enc_b, paired, pdata, poff, ends, n_threads=0):
         lib = get_lib()
@@ -1066,6 +1085,9 @@ class NativePairFormatter:
             ctypes.c_int32(p.report_repeat_hits),
             ctypes.c_int32(1 if p.out_unmap else 0),
             ctypes.c_int32(1 if p.out_ref else 0),
+            _p(self.cc_pos, ctypes.c_int64),
+            _p(self.cc_rev, ctypes.c_int64),
+            _p(self.cc_off, ctypes.c_int64),
         ]
         cap = max(total_seq * 5 + B * 256, 1 << 20)
         while True:

@@ -1159,12 +1159,17 @@ i64 bt_replay_pe(
     i64* hoff_a,
     i32* hchr_b, i32* hloc_b, i32* hgsz_b, i32* hgpos_b, u8* hchain_b,
     i64* hoff_b,
+    // RRBS per-candidate plane/skip (nullable; see bt_replay_se)
+    const i8* rr_plane_a, const u8* rr_skip_a,
+    const i8* rr_plane_b, const u8* rr_skip_b,
     i32 n_threads)
 {
     RefCtx cxa{anchors, rc_off, sizes, n_chr, counts_a, pos0_a, pos1_a,
                cand_loc_a, seed_size, gap, gap_edge, max_num_hits, nt3};
     RefCtx cxb{anchors, rc_off, sizes, n_chr, counts_b, pos0_b, pos1_b,
                cand_loc_b, seed_size, gap, gap_edge, max_num_hits, nt3};
+    cxa.rr_plane = rr_plane_a; cxa.rr_skip = rr_skip_a;
+    cxb.rr_plane = rr_plane_b; cxb.rr_skip = rr_skip_b;
     EvalCtx eva{ev_ref32, ev_nw, ev_base_a, ev_valid_a, ev_mread_a,
                 ev_ncnt_a, ev_W_a, ev_mode, ev_locs, ev_lenmask_a,
                 ev_readlen_a};
@@ -2014,6 +2019,11 @@ struct PeFmtArgs {
     const u32* ref32_fwd; const i64* anchors;
     const u8* useful_nt; const u8* rev_char_tab;
     u32 randseed; i32 report_repeat_hits; i32 out_unmap; i32 out_ref;
+    // RRBS ZP/ZL (nullable): per-chr-pair CSR of CCGG fragment sites,
+    // same layout as SeFmtArgs (refbase.cpp:456-482)
+    const i64* cc_pos = nullptr;
+    const i64* cc_rev = nullptr;
+    const i64* cc_off = nullptr;
 };
 
 // Formats pairs [r0, r1) into (out, cap); returns bytes needed (may exceed
@@ -2144,6 +2154,13 @@ static i64 format_pe_range(const PeFmtArgs& A, i32 r0, i32 r1,
                 put_seqqual(E[end], r, rev);
                 put("\tNM:i:", 6); put_int(nm);
                 if (out_ref) put_xr(h[0], h[1], L2[end]);
+                if (A.cc_pos) {
+                    // RRBS PE proper pair: ZP = leftmost mate pos,
+                    // ZL = insert (s_OutHitPair, pairs.cpp:355-358)
+                    i64 zp = rev ? (i64)mate_h[1] + 1 : (i64)h[1] + 1;
+                    put("\tZP:i:", 6); put_int(zp);
+                    put("\tZL:i:", 6); put_int((i64)insert);
+                }
                 put_zs(h[0], ch);
             }
         };
@@ -2202,6 +2219,15 @@ static i64 format_pe_range(const PeFmtArgs& A, i32 r0, i32 r1,
             put_seqqual(E[end], r, rev_seq);
             put("\tNM:i:", 6); put_int(na_);
             if (out_ref) put_xr(h[0], h[1], L2[end]);
+            if (A.cc_pos) {  // RRBS unpaired end (s_OutHitUnpair tags)
+                i64 a0c = A.cc_off[h[0] >> 1];
+                i64 b0c = A.cc_off[(h[0] >> 1) + 1];
+                i64 zp, zl;
+                ccgg_seglen_c(A.cc_pos + a0c, A.cc_rev + a0c, b0c - a0c,
+                              h[1], L2[end], &zp, &zl);
+                put("\tZP:i:", 6); put_int(zp);
+                put("\tZL:i:", 6); put_int(zl);
+            }
             put_zs(h[0], chain_a);
         };
 
@@ -2322,6 +2348,7 @@ extern "C" i64 bt_format_pe(
     const u32* ref32_fwd, const i64* anchors,
     const u8* useful_nt, const u8* rev_char_tab,
     u32 randseed, i32 report_repeat_hits, i32 out_unmap, i32 out_ref,
+    const i64* cc_pos, const i64* cc_rev, const i64* cc_off,  // RRBS ZP/ZL
     u8* out, i64 cap, i64* counters, i32 n_threads)
 {
     (void)n_titles;
@@ -2337,7 +2364,8 @@ extern "C" i64 bt_format_pe(
         paired, pair_data, pair_off,
         title_names, title_off, ref32_fwd, anchors,
         useful_nt, rev_char_tab,
-        randseed, report_repeat_hits, out_unmap, out_ref};
+        randseed, report_repeat_hits, out_unmap, out_ref,
+        cc_pos, cc_rev, cc_off};
     if (n_threads <= 1 || B < 4096) {
         i64 c[9];
         i64 w = format_pe_range(A, 0, B, out, cap, c);
@@ -2369,7 +2397,8 @@ extern "C" i64 bt_format_pe(
                 i64 per = namelen_a[r] + namelen_b[r]
                           + 2 * (i64)(seqlen_a[r] + seqlen_b[r])
                           + 2 * tmax + 160
-                          + (out_ref ? maplen_a[r] + maplen_b[r] + 28 : 0);
+                          + (out_ref ? maplen_a[r] + maplen_b[r] + 28 : 0)
+                          + (cc_pos ? 112 : 0);  // RRBS ZP/ZL, both ends
                 est += nrec * per;
             }
             std::vector<u8>& buf = bufs[t];

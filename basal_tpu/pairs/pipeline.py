@@ -242,14 +242,15 @@ class PairEndAligner:
         self.emitter = PairEmitter(params, ref, self.rng, rrbs_seglen=rrbs_fn)
         from ..native import NativeBatch, native_available
         if use_native is None:
-            use_native = (native_available() and params.randseed != 0
-                          and not params.rrbs_flag)
+            use_native = native_available() and params.randseed != 0
         self.native_a = NativeBatch(params, index, ref) if use_native else None
         self.native_b = NativeBatch(params, index, ref) if use_native else None
         self.pe_formatter = None
-        if self.native_a is not None and not params.rrbs_flag:
+        if self.native_a is not None:
             from ..native import NativePairFormatter
-            self.pe_formatter = NativePairFormatter(params, ref)
+            self.pe_formatter = NativePairFormatter(
+                params, ref,
+                rrbs_index=index if params.rrbs_flag else None)
         # per-stage cost anatomy (printed at -V 2; SE twin in
         # align/pipeline.py keeps the richer ladder counters)
         self.stage = {"cand_enum": 0, "cand_host": 0, "cand_device": 0,
@@ -302,7 +303,9 @@ class PairEndAligner:
         # pass (the old probe re-encoded the batch on copies — ~15% of an
         # easy-profile PE batch); splitting restores the scheduler state
         # and the pre-trim seq/qual references, then re-encodes per slice.
-        if len(reads_a) > 512 and self.native_a is not None:
+        if (len(reads_a) > 512 and self.native_a is not None
+                and not p.rrbs_flag):  # RRBS builds its own (bounded)
+            # eager fragment candidates in _align_batch_native
             from ..reads.io import RawBatch
             raw = isinstance(reads_a, RawBatch)
             ridx = (reads_a.indices if raw else
@@ -454,11 +457,57 @@ class PairEndAligner:
             n_threads=self.nt_hint)
         return [(np.ones(B, bool), out1)]
 
+    def _pe_rrbs_native(self, enc_a, enc_b):
+        """RRBS PE through the native engine: C++ fragment-index candidate
+        build (bt_build_candidates_rrbs, per end) + host-SIMD evaluation +
+        the C++ lockstep replay carrying per-candidate plane/skip (RRBS
+        entries land on either strand).  Byte-identical to the pure-Python
+        lockstep (test_differential_rrbs.py PE cases + fuzz);
+        BASAL_TPU_NO_NATIVE=1 reverts."""
+        from ..native import (host_eval_candidates, host_eval_candidates_gap,
+                              replay_pe)
+        from ..reads.io import RawBatch
+        p = self.p
+        B = len(enc_a.reads)
+        built = []
+        for enc, nat in ((enc_a, self.native_a), (enc_b, self.native_b)):
+            ridx = (enc.reads.indices if isinstance(enc.reads, RawBatch)
+                    else np.array([r.index for r in enc.reads],
+                                  dtype=np.uint32))
+            groups, goff, loc, plane, skip, row, total = \
+                nat.build_candidates_rrbs(enc, ridx, self.index)
+            self.stage["cand_enum"] += total
+            pos0 = pos1 = None
+            if total and p.gap > 0:
+                counts, pos0, pos1 = host_eval_candidates_gap(
+                    p, self.ref, enc, loc, plane, row,
+                    n_threads=self.nt_hint)
+                self.stage["cand_host"] += total
+            elif total:
+                counts = host_eval_candidates(
+                    p, self.ref, enc, loc, plane, row,
+                    n_threads=self.nt_hint)
+                self.stage["cand_host"] += total
+            else:
+                counts = np.zeros(0, np.int32)
+            built.append(((loc, None, None, groups, goff),
+                          (counts, pos0, pos1), (plane, skip)))
+        self.stage["batches_bulk"] += 1
+        out1 = replay_pe(p, self.ref,
+                         enc_a, built[0][0], built[0][1],
+                         enc_b, built[1][0], built[1][1],
+                         n_threads=self.nt_hint,
+                         rr_a=built[0][2], rr_b=built[1][2])
+        return [(np.ones(B, bool), out1)]
+
     def _align_batch_native(self, enc_a, enc_b, built_a=None) -> bytes:
         from ..align.replay import ReadResult
         from ..native import replay_pe
         p = self.p
         B = len(enc_a.reads)
+        if p.rrbs_flag:
+            waves = self._pe_rrbs_native(enc_a, enc_b)
+            return self._emit_pe_waves(enc_a, enc_b, waves)
         built = []
         total_all = 0
         for enc, nat in ((enc_a, self.native_a), (enc_b, self.native_b)):
@@ -518,7 +567,11 @@ class PairEndAligner:
                              enc_b, cand[1], fetched[1],
                              n_threads=self.nt_hint)
             waves = [(np.ones(B, bool), out1)]
+        return self._emit_pe_waves(enc_a, enc_b, waves)
 
+    def _emit_pe_waves(self, enc_a, enc_b, waves) -> bytes:
+        from ..align.replay import ReadResult
+        B = len(enc_a.reads)
         if (self.pe_formatter is not None and len(waves) == 1
                 and bool(waves[0][0].all())):
             paired, _pcnt, pdata, poff, ends = waves[0][1]

@@ -119,3 +119,12 @@ def test_rrbs_pe(tmp_path, rng):
     want = norm_sam((tmp_path / "oracle.sam").read_text())
     got = norm_sam(ours)
     assert got == want, _fd(got, want)
+
+
+def test_rrbs_pe_python_twin(tmp_path, rng, monkeypatch):
+    """PE RRBS with BASAL_TPU_NO_NATIVE=1: the pure-Python fragment build +
+    lockstep remains the golden twin now that the native path
+    (bt_build_candidates_rrbs + bt_replay_pe rr args + ZP/ZL PE formatter)
+    is the default."""
+    monkeypatch.setenv("BASAL_TPU_NO_NATIVE", "1")
+    test_rrbs_pe(tmp_path, rng)
