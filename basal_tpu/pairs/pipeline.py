@@ -289,7 +289,10 @@ class PairEndAligner:
                 self._dev = DeviceContext(self.ref, self.p)
         return self._dev
 
-    MAX_BATCH_CANDS = 30_000_000
+    # volume guard for the eager PE tables; BASAL_TPU_PE_SPLIT_CANDS
+    # overrides (A/B'd round 5 on the repeat profile — see docs/PERF.md)
+    MAX_BATCH_CANDS = int(os.environ.get("BASAL_TPU_PE_SPLIT_CANDS",
+                                         30_000_000))
 
     def align_batch(self, reads_a, reads_b) -> bytes:
         p = self.p
