@@ -36,7 +36,35 @@ using i32 = int32_t;
 using u64 = uint64_t;
 using i64 = int64_t;
 
+#ifdef BT_PROF_TIMES
+#include <x86intrin.h>
+#include <atomic>
+#endif
+
 namespace {
+
+#ifdef BT_PROF_TIMES  // attribution builds only (tools/aligntimes.py):
+// per-phase rdtsc cycle accumulators for the fused SE host pass.  Padded
+// per-thread rows (worker threads are short-lived; ids wrap mod 64 and the
+// reader sums every row) — a shared atomic per scope contends across the
+// 4 workers and inflates the measured phases.  Production builds compile
+// none of this.
+struct alignas(64) BtProfRow { u64 c[5]; };  // 0=fill 1=sched 2=enum 3=scan 4=emit
+BtProfRow bt_prof_rows[64] = {};
+std::atomic<int> bt_prof_ntid{0};
+thread_local int bt_prof_tid = -1;
+struct BtProfScope {
+    int slot; u64 t0;
+    BtProfScope(int s) : slot(s), t0(__rdtsc()) {}
+    ~BtProfScope() {
+        if (bt_prof_tid < 0) bt_prof_tid = bt_prof_ntid++ & 63;
+        bt_prof_rows[bt_prof_tid].c[slot] += __rdtsc() - t0;
+    }
+};
+#define BT_PROF_SCOPE(slot) BtProfScope bt_prof_scope_##slot(slot)
+#else
+#define BT_PROF_SCOPE(slot)
+#endif
 
 constexpr int MAXSNPS = 15;
 constexpr int KPOS = 14;
@@ -147,6 +175,7 @@ static inline void gather_counts(const i32* counts, const u32* sv,
 static inline void fill_count_cache(const Shared& sh, const u32* sv,
                                     i32 n_off, i32 segnum, i32 cap,
                                     u32* cc) {
+    BT_PROF_SCOPE(0);
 #ifdef BT_PROF_NOGATHER  // attribution builds only (tools/buildprof.py)
     for (i32 i = 0; i < n_off; ++i) cc[i] = 1;
     if (true) return;
@@ -180,6 +209,14 @@ struct Sched {
     bool active;
 };
 
+// NOTE (negative A/B, aligntimes): issuing the NEXT read's count-table
+// prefetches right after schedule_read (a 1-deep software pipeline) made
+// the fused pass SLOWER (0.71 -> 0.85 us/read instrumented): the extra
+// stream competes with the enumerate/scan prefetches for the core's ~12
+// fill buffers, and loading the next read's seedval row to compute the
+// addresses stalls up front.  fill_count_cache's own up-front batched
+// prefetch + hardware gather already extracts the available MLP.
+
 // ReorderSeed + AdjustSeedStartArray (ref: align.cpp:468-524)
 // ``cc2`` receives each chain's counts cache for reuse by the caller.
 // ``seed_state``/``reg_state`` are the [2][STALE_N] stale buffers (see
@@ -208,6 +245,7 @@ static void schedule_read(const Shared& sh, i32 r, i32* start_offset_state,
         }
         continue;
 #endif
+        BT_PROF_SCOPE(1);
         if (max_offset > 0) {
             u32 best = 0xffffffffu;
             for (i32 i = 0; i < max_offset; ++i) {
@@ -253,6 +291,17 @@ static_assert(sizeof(Group) == 10 * 8, "group layout");
 }  // namespace
 
 extern "C" {
+
+#ifdef BT_PROF_TIMES  // attribution builds only (tools/aligntimes.py)
+void bt_prof_times(u64* out5, i32 reset) {
+    for (int i = 0; i < 5; ++i) out5[i] = 0;
+    for (int t = 0; t < 64; ++t)
+        for (int i = 0; i < 5; ++i) {
+            out5[i] += bt_prof_rows[t].c[i];
+            if (reset) bt_prof_rows[t].c[i] = 0;
+        }
+}
+#endif
 
 // Pass 1 (fill=0): returns needed candidate capacity, sets *out_ngroups.
 // Pass 2 (fill=1): fills cand/group buffers.  start_offset_state must hold
@@ -3144,7 +3193,10 @@ extern "C" i64 bt_align_se_host(
     i32 nt = par ? n_threads : 1;
     if (nt > B) nt = B > 0 ? B : 1;
 
-    struct Sink {
+    // alignas(64): adjacent threads' hot per-read counters (ncand/neval)
+    // must not share a cache line — the unaligned layout cost ~hundreds of
+    // cycles/read of coherence traffic in the enumerate loop (aligntimes)
+    struct alignas(64) Sink {
         std::vector<i32> chr, loc, gsz, gpos;
         std::vector<u8> chain;
         i64 ncand = 0, neval = 0;
@@ -3202,6 +3254,18 @@ extern "C" i64 bt_align_se_host(
                     }
             u32 rv = myrand_hash(read_index[r], randseed);
             lg.clear();
+            {
+            BT_PROF_SCOPE(2);
+            // Two-phase enumerate (aligntimes attribution): the probe loop
+            // itself is ~250 cyc/read, but each accepted probe costs two
+            // serialized DRAM misses into the 3^s-slot n1[]/starts[]
+            // tables (~350 cyc per group at ~5 groups/read).  Phase A
+            // filters probes and issues all groups' n1/starts prefetches
+            // up front so the misses overlap; phase B builds the Groups in
+            // the identical order — bit-exact by construction.
+            struct Probe { i32 chain, mode, seg; i64 off; u32 sd; i64 m; };
+            Probe pbuf[2 * 16 * (MAXSNPS + 1)];
+            int npb = 0;
             for (int chain = 0; chain < 2; ++chain) {
                 if (!sc[chain].active) continue;
                 const u32* sv = seedval + ((i64)r * 2 + chain) * S;
@@ -3210,9 +3274,10 @@ extern "C" i64 bt_align_se_host(
                 i32 n_off = n_offsets[r];
                 for (i32 mode = 0; mode < seedseg[r]; ++mode) {
                     i32 seg = sc[chain].order[mode];
+                    const i64* prow = profile + seg * prof_stride;
+                    i32 start = sc[chain].start_arr[seg];
                     for (i32 i = 0; i < I; ++i) {
-                        i64 off = profile[seg * prof_stride + i]
-                                  + sc[chain].start_arr[seg] - i;
+                        i64 off = prow[i] + start - i;
                         u32 sd;
                         i64 m;
                         if (off < n_off) {
@@ -3225,28 +3290,47 @@ extern "C" i64 bt_align_se_host(
                             continue;
                         }
                         if (m == 0 || m > max_kmer_num) continue;
-                        // start = -1 marks never-materialized: the scan
-                        // evaluates these candidates at visit time
-                        lg.push_back(Group{r, chain, mode, seg, off, -1, m,
-                                           (i64)n1[sd] - 1,
-                                           (i64)(rv % (u32)m), starts[sd]});
-                        sk.ncand += m;
+#ifdef BT_PROF_NOPUSH  // attribution builds only (tools/aligntimes.py)
+                        sk.ncand += m + sd;
+                        continue;
+#endif
+                        __builtin_prefetch(n1 + sd, 0, 0);
+                        __builtin_prefetch(starts + sd, 0, 0);
+                        pbuf[npb++] = Probe{chain, mode, seg, off, sd, m};
                     }
                 }
+            }
+            for (int j = 0; j < npb; ++j) {
+                const Probe& pb = pbuf[j];
+                i64 loff = starts[pb.sd];
+                i64 jj0 = (i64)(rv % (u32)pb.m);
+                // warm the scan's first visit: group visits start at the
+                // random rotation index jj0
+                __builtin_prefetch(locs + loff + jj0, 0, 0);
+                // start = -1 marks never-materialized: the scan evaluates
+                // these candidates at visit time
+                lg.push_back(Group{r, pb.chain, pb.mode, pb.seg, pb.off, -1,
+                                   pb.m, (i64)n1[pb.sd] - 1, jj0, loff});
+                sk.ncand += pb.m;
+            }
             }
             if (lg.empty()) continue;
 #ifdef BT_PROF_NOSCAN  // attribution builds only (tools/alignprof.py)
             continue;
 #endif
+            {
+            BT_PROF_SCOPE(3);
             scan.init(&cx, lg.data(), 0, (i64)lg.size(),
                       map_len[r], read_max_snp[r], seedseg[r]);
             scan.counts_off = nullptr;
             scan.n_eval = 0;
             scan.run_all();
+            }
             sk.neval += scan.n_eval;
             i32 best = scan.best_stratum();
             out_stratum[r] = best;
             if (best > scan.rms) continue;
+            BT_PROF_SCOPE(4);
             out_n0[r] = (i32)scan.buckets[0][best].size();
             out_n1[r] = (i32)scan.buckets[1][best].size();
             for (int c = 0; c < 2; ++c)
