@@ -355,14 +355,6 @@ i64 bt_build_candidates(
         schedule_read(sh, r, start_offset_state, seed_state, reg_state,
                       sc, cc2.data());
         u32 rv = myrand_hash(read_index[r], randseed);
-        // two-phase enumerate (see bt_align_se_host): the accepted probes'
-        // n1/starts (and then locs) lookups are random DRAM misses into the
-        // 3^s-slot tables; collecting the probes first and issuing all
-        // prefetches up front overlaps them.  fill==0 (sizing pass) reads
-        // none of those tables, so it skips the prefetches.
-        struct ProbeC { i32 chain, mode, seg; i64 off; u32 sd; i64 m; };
-        ProbeC pbuf[2 * 16 * (MAXSNPS + 1)];
-        int npb = 0;
         for (int chain = 0; chain < 2; ++chain) {
             if (!sc[chain].active) continue;
             const u32* sv = seedval + ((i64)r * 2 + chain) * S;
@@ -386,49 +378,22 @@ i64 bt_build_candidates(
                         continue;  // past even the reference's 480 entries
                     }
                     if (m == 0 || m > max_kmer_num) continue;
-                    if (fill) {
-                        __builtin_prefetch(n1 + sd, 0, 0);
-                        __builtin_prefetch(starts + sd, 0, 0);
+                    i64 h = off;  // h == seed offset in read (profile+start-i)
+                    if (fill == 1) {
+                        const u32* lp = locs + starts[sd];
+                        for (i64 j = 0; j < m; ++j) {
+                            cand_loc[flat + j] = (i32)((i64)lp[j] - h);
+                            cand_plane[flat + j] = (i8)(j >= n1[sd] ? 1 : 0);
+                            cand_row[flat + j] = r * 2 + chain;
+                        }
                     }
-                    pbuf[npb++] = ProbeC{chain, mode, seg, off, sd, m};
+                    if (fill)  // 1: full, 2: groups only (lazy)
+                        groups[ng] = Group{r, chain, mode, seg, h, flat, m,
+                                           (i64)n1[sd] - 1, (i64)(rv % (u32)m),
+                                           starts[sd]};
+                    flat += m;
+                    ++ng;
                 }
-            }
-        }
-        if (!fill) {
-            for (int j = 0; j < npb; ++j) flat += pbuf[j].m;
-            ng += npb;
-        } else {
-            // B1: resolve starts/n1 (prefetched above) and warm each
-            // group's locs row before any is consumed
-            i64 pst[2 * 16 * (MAXSNPS + 1)];
-            i32 pn1[2 * 16 * (MAXSNPS + 1)];
-            for (int j = 0; j < npb; ++j) {
-                const ProbeC& pb = pbuf[j];
-                pst[j] = starts[pb.sd];
-                pn1[j] = n1[pb.sd];
-                // fill==1 copies the whole row from locs[starts[sd]];
-                // fill==2 (lazy) first visits it at the rotation index jj0
-                i64 warm = fill == 1 ? 0 : (i64)(rv % (u32)pb.m);
-                __builtin_prefetch(locs + pst[j] + warm, 0, 0);
-            }
-            // B2: emit in the identical order
-            for (int j = 0; j < npb; ++j) {
-                const ProbeC& pb = pbuf[j];
-                i64 h = pb.off;  // h == seed offset in read
-                if (fill == 1) {
-                    const u32* lp = locs + pst[j];
-                    for (i64 jj = 0; jj < pb.m; ++jj) {
-                        cand_loc[flat + jj] = (i32)((i64)lp[jj] - h);
-                        cand_plane[flat + jj] = (i8)(jj >= pn1[j] ? 1 : 0);
-                        cand_row[flat + jj] = r * 2 + pb.chain;
-                    }
-                }
-                // 1: full, 2: groups only (lazy)
-                groups[ng] = Group{r, pb.chain, pb.mode, pb.seg, h, flat,
-                                   pb.m, (i64)pn1[j] - 1,
-                                   (i64)(rv % (u32)pb.m), pst[j]};
-                flat += pb.m;
-                ++ng;
             }
         }
     }
@@ -3086,12 +3051,6 @@ extern "C" i64 bt_build_groups_mt(
                     lstate[t * 2 + chain] = st[chain];
                 }
             u32 rv = myrand_hash(read_index[r], randseed);
-            // two-phase enumerate (see bt_align_se_host): collect accepted
-            // probes and issue all n1/starts prefetches before building the
-            // Groups, overlapping the two per-group DRAM misses
-            struct Probe { i32 chain, mode, seg; i64 off; u32 sd; i64 m; };
-            Probe pbuf[2 * 16 * (MAXSNPS + 1)];
-            int npb = 0;
             for (int chain = 0; chain < 2; ++chain) {
                 if (!sc[chain].active) continue;
                 const u32* sv = seedval + ((i64)r * 2 + chain) * S;
@@ -3104,19 +3063,13 @@ extern "C" i64 bt_build_groups_mt(
                         u32 sd = sv[off];  // par mode: off always in-range
                         i64 m = cc[off];
                         if (m == 0 || m > max_kmer_num) continue;
-                        __builtin_prefetch(n1 + sd, 0, 0);
-                        __builtin_prefetch(starts + sd, 0, 0);
-                        pbuf[npb++] = Probe{chain, mode, seg, off, sd, m};
+                        gv.push_back(Group{r, chain, mode, seg, off, flat, m,
+                                           (i64)n1[sd] - 1,
+                                           (i64)(rv % (u32)m), starts[sd]});
+                        flat += m;
+                        ++ng;
                     }
                 }
-            }
-            for (int j = 0; j < npb; ++j) {
-                const Probe& pb = pbuf[j];
-                gv.push_back(Group{r, pb.chain, pb.mode, pb.seg, pb.off,
-                                   flat, pb.m, (i64)n1[pb.sd] - 1,
-                                   (i64)(rv % (u32)pb.m), starts[pb.sd]});
-                flat += pb.m;
-                ++ng;
             }
         }
         go[r1 - r0] = ng;
