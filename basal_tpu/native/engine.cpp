@@ -3303,7 +3303,9 @@ extern "C" i64 bt_align_se_host(
             for (int j = 0; j < npb; ++j) {
                 const Probe& pb = pbuf[j];
                 i64 loff = starts[pb.sd];
-                i64 jj0 = (i64)(rv % (u32)pb.m);
+                // m == 1 (~80% of groups on the random profile) makes the
+                // rotation trivially 0 — skip the 20+-cycle division
+                i64 jj0 = pb.m == 1 ? 0 : (i64)(rv % (u32)pb.m);
                 // warm the scan's first visit: group visits start at the
                 // random rotation index jj0
                 __builtin_prefetch(locs + loff + jj0, 0, 0);
